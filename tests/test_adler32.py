@@ -1,0 +1,58 @@
+"""Adler-32 tests: numpy and JAX paths vs zlib, plus associative combining."""
+
+import zlib
+
+import numpy as np
+import pytest
+
+from fdeflate_tpu.ops import adler32 as A
+
+
+@pytest.mark.parametrize("n", [0, 1, 7, 4096, 4097, 100_000])
+def test_numpy_matches_zlib(n):
+    rng = np.random.default_rng(n)
+    data = rng.integers(0, 256, n, dtype=np.uint8)
+    assert A.adler32_numpy(data) == zlib.adler32(data.tobytes())
+
+
+def test_combine_matches_zlib():
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 256, 1000, dtype=np.uint8).tobytes()
+    y = rng.integers(0, 256, 77777, dtype=np.uint8).tobytes()
+    a1 = zlib.adler32(x)
+    a2 = zlib.adler32(y)
+    assert A.combine(a1, a2, len(y)) == zlib.adler32(x + y)
+
+
+@pytest.mark.parametrize("n", [1, 4096, 10_000])
+def test_jax_matches_zlib(n):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(n)
+    data = rng.integers(0, 256, n, dtype=np.uint8)
+    got = int(A.adler32_jax(jnp.asarray(data)))
+    assert got & 0xFFFFFFFF == zlib.adler32(data.tobytes())
+
+
+def test_jax_padded_length():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    data = rng.integers(1, 256, 5000, dtype=np.uint8)
+    padded = np.concatenate([data, np.full(3000, 0xAB, np.uint8)])
+    got = int(A.adler32_jax(jnp.asarray(padded), length=5000))
+    assert got & 0xFFFFFFFF == zlib.adler32(data.tobytes())
+
+
+def test_jax_partial_combine():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(9)
+    x = rng.integers(0, 256, 6000, dtype=np.uint8)
+    y = rng.integers(0, 256, 9000, dtype=np.uint8)
+    p1 = A.adler32_partial_jax(jnp.asarray(x))
+    p2 = A.adler32_partial_jax(jnp.asarray(y))
+    a, b, n = A.combine_partials_jax(p1, p2)
+    combined = (int(b) << 16) | int(a)
+    assert combined == zlib.adler32(np.concatenate([x, y]).tobytes())
+    assert int(n) == 15000
