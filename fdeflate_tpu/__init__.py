@@ -1,0 +1,75 @@
+"""fdeflate_tpu — a TPU-native zlib/DEFLATE framework.
+
+A from-scratch reimplementation of the capabilities of image-rs/fdeflate,
+designed TPU-first:
+
+* the compute path (batch encode/decode, checksums) runs as JAX/XLA programs
+  with Pallas kernels for the hot ops, scaling over device meshes via
+  ``jax.sharding`` (see ``fdeflate_tpu.parallel``);
+* the streaming host API mirrors the reference crate exactly —
+  ``Compressor`` levels 0-9, ``UltraFastCompressor``, and a resumable
+  ``Decompressor`` with the chunking-insensitive ``read`` contract;
+* a native C++ backend accelerates the serial host paths.
+
+Public API parity with the reference (src/lib.rs:29-36):
+
+    compress_to_vec, compress_to_vec_with_level, compress_to_vec_rle,
+    compress_to_vec_ultra_fast, Compressor, UltraFastCompressor,
+    decompress_to_vec, decompress_to_vec_bounded, Decompressor,
+    DecompressionError (+ concrete subclasses), OutputTooLarge,
+    compute_code_lengths.
+"""
+
+from .errors import (
+    BadCodeLengthHuffmanTree,
+    BadDistanceHuffmanTree,
+    BadLiteralLengthHuffmanTree,
+    BadZlibHeader,
+    DecompressionError,
+    DistanceTooFarBack,
+    ExtraInput,
+    InputStartsWithRun,
+    InsufficientInput,
+    InvalidBlockType,
+    InvalidCodeLengthRepeat,
+    InvalidDistanceCode,
+    InvalidHdist,
+    InvalidHlit,
+    InvalidLiteralLengthCode,
+    InvalidUncompressedBlockLength,
+    OutputTooLarge,
+    Status,
+    WrongChecksum,
+)
+from .huffman import compute_code_lengths
+from .models.compressor import (
+    Compressor,
+    compress_to_vec,
+    compress_to_vec_rle,
+    compress_to_vec_ultra_fast,
+    compress_to_vec_with_level,
+)
+from .models.decompressor import (
+    Decompressor,
+    decompress_to_vec,
+    decompress_to_vec_bounded,
+)
+from .models.ultrafast import UltraFastCompressor
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Compressor",
+    "UltraFastCompressor",
+    "Decompressor",
+    "compress_to_vec",
+    "compress_to_vec_with_level",
+    "compress_to_vec_rle",
+    "compress_to_vec_ultra_fast",
+    "decompress_to_vec",
+    "decompress_to_vec_bounded",
+    "compute_code_lengths",
+    "DecompressionError",
+    "OutputTooLarge",
+    "Status",
+]

@@ -1,0 +1,159 @@
+"""Compression-tower tests.
+
+External validation through zlib.decompress plays the role the reference's
+miniz_oxide/flate2 differential decoding plays (src/compress/ultrafast.rs:
+184-225, fuzz/fuzz_targets/deflate.rs).
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+import fdeflate_tpu as F
+from fdeflate_tpu.models.ultrafast import STREAM_HEADER, tokenize
+
+
+def ultrafast_roundtrip(data: bytes):
+    compressed = F.compress_to_vec_ultra_fast(data)
+    assert zlib.decompress(compressed) == data
+    assert F.decompress_to_vec(compressed) == data
+    return compressed
+
+
+class TestUltraFast:
+    def test_it_works(self):
+        ultrafast_roundtrip(b"Hello world!")
+
+    def test_constant(self):
+        for byte in (0, 5, 128, 254):
+            ultrafast_roundtrip(bytes([byte] * 2048))
+
+    def test_random(self):
+        rng = np.random.default_rng(5)
+        for _ in range(5):
+            ultrafast_roundtrip(rng.integers(0, 256, 2048, dtype=np.uint8).tobytes())
+
+    @pytest.mark.parametrize(
+        "n", [0, 1, 7, 8, 9, 15, 256, 257, 258, 259, 258 * 2, 258 * 3 + 2, 5000]
+    )
+    def test_zero_runs(self, n):
+        ultrafast_roundtrip(bytes(n))
+
+    def test_run_edges(self):
+        # Zeros placed to hit every chunk-boundary rule: mid-chunk zeros stay
+        # literal; chunk-end zeros start runs; chunk-start zeros join runs.
+        cases = [
+            b"\x00\x00\x00ab\x00\x00\x00",       # start+end zeros, one chunk
+            b"ab\x00\x00\x00\x00\x00\x00xy",     # run split across chunks
+            b"\x00" * 5 + b"ab" + b"\x00" * 600 + b"xyz" + b"\x00" * 3,
+            b"a\x00b\x00c\x00d\x00",             # isolated mid-chunk zeros
+            bytes(16) + b"q" + bytes(16),
+        ]
+        for data in cases:
+            ultrafast_roundtrip(data)
+
+    def test_streaming_matches_oneshot(self):
+        rng = np.random.default_rng(9)
+        data = rng.choice(np.frombuffer(b"\x00\x00\x00abc", np.uint8), 10000).tobytes()
+        c = F.UltraFastCompressor()
+        for off in range(0, len(data), 997):
+            c.write_data(data[off : off + 997])
+        streamed = bytes(c.finish())
+        assert zlib.decompress(streamed) == data
+
+    def test_header_is_valid_dynamic_block(self):
+        # The canned 54-byte header must itself decode as the start of a
+        # valid dynamic-Huffman block: an empty stream built on it decodes.
+        compressed = F.compress_to_vec_ultra_fast(b"")
+        assert compressed[:53] == STREAM_HEADER[:53]
+        assert zlib.decompress(compressed) == b""
+
+    def test_tokenize_token_count_bounds(self):
+        rng = np.random.default_rng(1)
+        data = rng.choice(np.frombuffer(b"\x00\x00\x00\x00\x00abc", np.uint8), 5000)
+        values, nbits = tokenize(data)
+        assert len(values) == len(data)
+        assert (nbits <= 17).all()
+
+
+class TestCompressorLevels:
+    @pytest.mark.parametrize("level", [0, 1, 2, 3, 4, 5, 6, 7])
+    def test_roundtrip_against_zlib(self, level):
+        rng = np.random.default_rng(level + 100)
+        data = rng.choice(
+            np.frombuffer(b"abcdefghij\x00\x00\x00\x00\x00\x00", np.uint8), 40000
+        ).tobytes()
+        compressed = F.compress_to_vec_with_level(data, level)
+        assert zlib.decompress(compressed) == data
+
+    def test_streamed_writes_roundtrip(self):
+        # Arbitrary chunked writes (reference: fuzz/fuzz_targets/deflate.rs).
+        rng = np.random.default_rng(42)
+        data = rng.choice(np.frombuffer(b"aabbbcc\x00", np.uint8), 60000).tobytes()
+        for level in (1, 4):
+            c = F.Compressor(level=level)
+            pos = 0
+            for size in [1, 7, 100, 3000, 40000, 100000]:
+                c.write_data(data[pos : pos + size])
+                pos += size
+                if pos >= len(data):
+                    break
+            c.write_data(data[pos:])
+            out = bytes(c.finish())
+            assert zlib.decompress(out) == data
+
+    def test_sync_flush(self):
+        c = F.Compressor(level=1)
+        c.write_data(b"first part first part first part")
+        c.flush()
+        c.write_data(b"second part second part")
+        out = bytes(c.finish())
+        assert zlib.decompress(out) == (
+            b"first part first part first partsecond part second part"
+        )
+
+    def test_empty_finish(self):
+        # Empty stream: 10-bit fixed-Huffman empty block.
+        out = F.compress_to_vec(b"")
+        assert zlib.decompress(out) == b""
+
+    def test_stored_block_splitting(self):
+        data = bytes(range(256)) * 300  # 76800 bytes > 65535
+        out = F.compress_to_vec_with_level(data, 0)
+        assert zlib.decompress(out) == data
+
+    def test_raw_deflate_mode(self):
+        data = b"raw deflate without zlib framing"
+        c = F.Compressor(level=1, zlib_mode=False)
+        c.write_data(data)
+        out = bytes(c.finish())
+        assert zlib.decompress(out, wbits=-15) == data
+
+    def test_window_discard_long_stream(self):
+        # Stream long enough to trigger the 128 KiB discard hysteresis.
+        rng = np.random.default_rng(8)
+        piece = rng.choice(np.frombuffer(b"abcde\x00", np.uint8), 50000).tobytes()
+        c = F.Compressor(level=1)
+        for _ in range(8):
+            c.write_data(piece)
+        out = bytes(c.finish())
+        assert zlib.decompress(out) == piece * 8
+
+    def test_compressed_no_worse_than_stored(self):
+        rng = np.random.default_rng(12)
+        data = rng.integers(0, 256, 30000, dtype=np.uint8).tobytes()
+        for level in (1, 2, 3, 4, 7):
+            out = F.compress_to_vec_with_level(data, level)
+            # Random data: must stay within stored-block overhead.
+            assert len(out) < len(data) * 1.02 + 100
+
+
+class TestCodeLengthDP:
+    def test_public_export(self):
+        lengths = F.compute_code_lengths(
+            np.array([10, 5, 3, 1]),
+            np.ones(4, np.int64),
+            np.full(4, 15, np.int64),
+        )
+        assert sum(2.0 ** -l for l in lengths) == 1.0
