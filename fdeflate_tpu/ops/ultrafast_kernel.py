@@ -1,0 +1,256 @@
+"""Batched ultra-fast encoder on TPU (JAX/XLA).
+
+Device twin of models/ultrafast.tokenize: encodes a whole batch of streams in
+one jitted program with no serial loops at all.
+
+    [B, N] bytes
+      -> per-byte (code, nbits) tokens        (elementwise VPU work)
+      -> bit positions via per-row cumsum     (prefix sum)
+      -> u32 output words via segment-sum     (scatter; disjoint bits => +==|)
+      -> per-stream Adler-32                  (tile reduction)
+
+Everything stays in 32-bit lanes (TPU has no 64-bit integer units).  The
+zlib + dynamic-block header is a compile-time constant prefix (429 bits); the
+host only appends the 4 checksum bytes after the (byte-aligned) EOF.
+
+The numpy implementation in models/ultrafast.py is the bit-exact oracle; see
+tests/test_device_encode.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..tables import (
+    HUFFMAN_CODES,
+    HUFFMAN_LENGTHS,
+    LENGTH_TO_LEN_EXTRA,
+    LENGTH_TO_SYMBOL,
+)
+from ..models.ultrafast import STREAM_HEADER, STREAM_HEADER_BITS
+
+_EOF_CODE = int(HUFFMAN_CODES[256])
+_EOF_BITS = int(HUFFMAN_LENGTHS[256])
+
+
+def _header_words(nwords: int) -> np.ndarray:
+    """The canned stream header as little-endian u32 words."""
+    raw = STREAM_HEADER[:53] + bytes(4 * nwords - 53)
+    words = np.frombuffer(raw, dtype="<u4").copy()
+    # Bits 424..429 live in byte 53 (only its low 5 bits are header).
+    words[13] |= (STREAM_HEADER[53] & 0x1F) << 8
+    return words
+
+
+def encode_ultrafast_batch(data, lengths):
+    """Encode ``B`` streams of padded length ``N``.
+
+    Args:
+      data: uint8[B, N] — stream bytes, zero-padded past ``lengths``.
+      lengths: int32[B] — logical lengths.
+
+    Returns:
+      words:  uint32[B, W] — the complete zlib streams except the trailing
+              checksum, as little-endian u32 words (W = N words + slack).
+      total_bits: int32[B] — valid bits per stream (multiple of 8 after the
+              EOF+padding, i.e. the byte length is total_bits // 8).
+      adler: uint32[B] — per-stream Adler-32 of the payload.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .adler32 import adler32_jax
+
+    B, N = data.shape
+    assert N % 8 == 0, "pad the byte buffer to a multiple of 8"
+    i32 = jnp.int32
+    u32 = jnp.uint32
+
+    codes = jnp.asarray(HUFFMAN_CODES.astype(np.uint32))
+    lens = jnp.asarray(HUFFMAN_LENGTHS.astype(np.int32))
+    len_to_sym = jnp.asarray(LENGTH_TO_SYMBOL.astype(np.int32))
+    len_to_extra = jnp.asarray(LENGTH_TO_LEN_EXTRA.astype(np.int32))
+
+    d = data.astype(i32)
+    lengths = lengths.astype(i32)
+    aligned = (lengths // 8) * 8  # [B]
+
+    # ---- chunk classification -------------------------------------------
+    n8 = N // 8
+    b = d.reshape(B, n8, 8)
+    nz = b != 0
+    offs8 = jax.lax.broadcasted_iota(i32, (B, n8, 8), 2)
+    chunk_zero = ~jnp.any(nz, axis=2)
+    # t: first nonzero byte offset; l: zero bytes at the chunk end.
+    t = jnp.min(jnp.where(nz, offs8, 8), axis=2)
+    last_nz = jnp.max(jnp.where(nz, offs8, -1), axis=2)
+    l = jnp.where(chunk_zero, 8, 7 - last_nz)
+
+    prev_zero = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), chunk_zero[:, :-1]], axis=1
+    )
+    prev_l = jnp.concatenate([jnp.zeros((B, 1), i32), l[:, :-1]], axis=1)
+    prev_run = prev_zero | (prev_l > 0)
+
+    member = (
+        chunk_zero[:, :, None]
+        | ((offs8 < t[:, :, None]) & prev_run[:, :, None])
+        | (offs8 >= (8 - l)[:, :, None])
+    ).reshape(B, N)
+
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
+    in_aligned = idx < aligned[:, None]
+    member = member & in_aligned
+
+    # ---- run segmentation ------------------------------------------------
+    prev_member = jnp.concatenate(
+        [jnp.zeros((B, 1), bool), member[:, :-1]], axis=1
+    )
+    start_flag = member & ~prev_member
+    seg_start = jax.lax.cummax(jnp.where(start_flag, idx, -1), axis=1)
+    nxt = jnp.where(~member, idx, jnp.int32(N))
+    seg_end = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
+    seg_end = jnp.minimum(seg_end, aligned[:, None])
+
+    p = idx - seg_start
+    q = p - 1
+    run1 = seg_end - seg_start - 1
+    k = run1 // 258
+    tail = run1 - k * 258
+    q0 = k * 258
+
+    # ---- token assignment ------------------------------------------------
+    lit_v = codes[d]
+    lit_n = lens[d]
+    in_stream = idx < lengths[:, None]
+
+    v = jnp.where(member, 0, lit_v.astype(i32))
+    nb = jnp.where(member, 0, lit_n)
+
+    is_first = member & (p == 0)
+    v = jnp.where(is_first, jnp.int32(int(HUFFMAN_CODES[0])), v)
+    nb = jnp.where(is_first, jnp.int32(int(HUFFMAN_LENGTHS[0])), nb)
+
+    qk = q // 258
+    is_285 = member & (p > 0) & (q - qk * 258 == 257)
+    v = jnp.where(is_285, jnp.int32(int(HUFFMAN_CODES[285])), v)
+    nb = jnp.where(is_285, jnp.int32(int(HUFFMAN_LENGTHS[285]) + 1), nb)
+
+    tail_idx = jnp.clip(tail - 3, 0, 255)
+    tail_sym = len_to_sym[tail_idx]
+    tail_extra = len_to_extra[tail_idx]
+    big_tail = member & (tail > 4)
+    at_sym = big_tail & (q == q0)
+    at_extra = big_tail & (q == q0 + 1)
+    v = jnp.where(at_sym, codes[tail_sym].astype(i32), v)
+    nb = jnp.where(at_sym, lens[tail_sym], nb)
+    extra_val = (tail - 3) & ((1 << tail_extra) - 1)
+    v = jnp.where(at_extra, extra_val, v)
+    nb = jnp.where(at_extra, tail_extra + 1, nb)
+
+    small_tail = member & (tail > 0) & (tail <= 4) & (q >= q0) & (q < q0 + tail)
+    v = jnp.where(small_tail, jnp.int32(int(HUFFMAN_CODES[0])), v)
+    nb = jnp.where(small_tail, jnp.int32(int(HUFFMAN_LENGTHS[0])), nb)
+
+    # Remainder bytes (aligned <= i < length) are always literals; padding
+    # beyond the stream emits nothing.
+    is_rem = ~in_aligned & in_stream
+    v = jnp.where(is_rem, lit_v.astype(i32), v)
+    nb = jnp.where(is_rem, lit_n, nb)
+    nb = jnp.where(in_stream, nb, 0)
+    v = jnp.where(nb > 0, v, 0)
+
+    # ---- bit packing -----------------------------------------------------
+    positions = STREAM_HEADER_BITS + jnp.cumsum(nb, axis=1) - nb  # exclusive
+    payload_end = STREAM_HEADER_BITS + jnp.cumsum(nb, axis=1)[:, -1]
+
+    # EOF token, then pad to a byte boundary.
+    eof_pos = payload_end
+    total_bits = ((eof_pos + _EOF_BITS + 7) // 8) * 8
+
+    # u32 words per stream: every byte emits at most one token of <= 13 bits
+    # (literal <= 12; the 258-run token is 13), plus header/EOF/slack.
+    W = (13 * N + STREAM_HEADER_BITS + _EOF_BITS + 31) // 32 + 2
+    wi = positions >> 5
+    sh = (positions & 31).astype(u32)
+    vu = v.astype(u32)
+    lo = (vu << sh).astype(u32)
+    hi = ((vu >> 1) >> (31 - sh).astype(u32)).astype(u32)
+    valid = nb > 0
+
+    row = jax.lax.broadcasted_iota(i32, (B, N), 0)
+    flat_lo = jnp.where(valid, row * W + wi, B * W)  # invalid -> dropped slot
+    flat_hi = jnp.where(valid, row * W + wi + 1, B * W)
+    words = jax.ops.segment_sum(
+        jnp.where(valid, lo, 0).reshape(-1),
+        flat_lo.reshape(-1),
+        num_segments=B * W + 1,
+    )
+    words = words + jax.ops.segment_sum(
+        jnp.where(valid, hi, 0).reshape(-1),
+        flat_hi.reshape(-1),
+        num_segments=B * W + 1,
+    )
+    words = words[: B * W].reshape(B, W).astype(u32)
+
+    # OR in the constant header and the per-stream EOF token.
+    hdr = jnp.asarray(_header_words(16))
+    words = words.at[:, :16].add(hdr)  # header bits are disjoint from payload
+
+    eof_wi = eof_pos >> 5
+    eof_sh = (eof_pos & 31).astype(u32)
+    eof_lo = (jnp.uint32(_EOF_CODE) << eof_sh).astype(u32)
+    eof_hi = ((jnp.uint32(_EOF_CODE) >> 1) >> (31 - eof_sh).astype(u32)).astype(u32)
+    rows = jnp.arange(B)
+    words = words.at[rows, eof_wi].add(eof_lo)
+    words = words.at[rows, eof_wi + 1].add(eof_hi)
+
+    adler = adler32_batch(data, lengths)
+    return words, total_bits.astype(i32), adler
+
+
+def adler32_batch(data, lengths):
+    """Per-stream Adler-32 for a [B, N] byte batch."""
+    import jax
+
+    from .adler32 import adler32_jax
+
+    return jax.vmap(adler32_jax)(data, lengths)
+
+
+def finalize_streams(words, total_bits, adler) -> list[bytes]:
+    """Assemble final zlib byte strings on the host (appends checksums)."""
+    words = np.asarray(words)
+    total_bits = np.asarray(total_bits)
+    adler = np.asarray(adler)
+    out = []
+    for b in range(words.shape[0]):
+        nbytes = int(total_bits[b]) // 8
+        raw = words[b].tobytes()[:nbytes]
+        out.append(raw + int(adler[b]).to_bytes(4, "big"))
+    return out
+
+
+@functools.lru_cache(maxsize=8)
+def _jitted_encoder():
+    import jax
+
+    return jax.jit(encode_ultrafast_batch)
+
+
+def compress_batch_ultra_fast(streams: list[bytes]) -> list[bytes]:
+    """Host-facing batch API: ultra-fast-compress many streams on device."""
+    import jax.numpy as jnp
+
+    B = len(streams)
+    lengths = np.array([len(s) for s in streams], dtype=np.int32)
+    N = max(8, int(-(-int(lengths.max(initial=1)) // 8) * 8))
+    buf = np.zeros((B, N), dtype=np.uint8)
+    for i, s in enumerate(streams):
+        buf[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
+    words, total_bits, adler = _jitted_encoder()(
+        jnp.asarray(buf), jnp.asarray(lengths)
+    )
+    return finalize_streams(words, total_bits, adler)
