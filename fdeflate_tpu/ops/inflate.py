@@ -1,0 +1,731 @@
+"""Batched DEFLATE decode on TPU (JAX/XLA).
+
+The bit-serial Huffman dependency cannot be vectorized *within* one block's
+symbol stream, but a TPU runs thousands of independent decode lanes.  This
+module decodes a batch of streams with one lane per stream (SURVEY.md P1);
+chunk-level speculation within a stream builds on the same kernels
+(parallel/speculative.py).
+
+Two-phase design (SURVEY.md section 7, "hard parts"):
+
+1. **Symbol phase** — a ``lax.while_loop`` advances every lane one decode
+   step per iteration: a 4096-entry table gather resolves up to two literal
+   codes (the reference's multi-byte-literal entries, src/tables.rs:90-122),
+   or a length/distance pair, or EOF.  Decisions and errors become per-lane
+   status codes; results are fixed-layout records ``(lit_bytes, lit_count,
+   length, dist)`` written at the iteration index — no data-dependent
+   scatter.
+
+2. **Materialize phase** — records expand to bytes with vectorized prefix
+   sums: record output offsets via cumsum, literal bytes via one scatter,
+   and LZ77 back-references via **pointer doubling**: every output position
+   gets a source pointer ``src[i] = i - dist``, and ``log2(len)`` rounds of
+   ``p = p[p]`` collapse arbitrary copy chains (including overlapping
+   dist<length RLE) to literal positions.
+
+The streaming host decompressor (models/decompressor.py) is the bit-exact
+oracle; the host wrapper here handles zlib/stored-block framing, multi-block
+streams (tables rebuilt between device launches), and checksums.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from .. import errors as E
+from ..huffman import FIXED_DIST_TABLE, FIXED_LITLEN_TABLE, build_table
+from ..tables import (
+    CLCL_ORDER,
+    DEFAULT_DIST_TABLE_SIZE,
+    DEFAULT_LITLEN_TABLE_SIZE,
+    DIST_SYM_TO_DIST_BASE,
+    DIST_SYM_TO_DIST_EXTRA,
+    DISTANCE_TABLE_ENTRIES,
+    LEN_SYM_TO_LEN_BASE,
+    LEN_SYM_TO_LEN_EXTRA,
+    LITLEN_TABLE_ENTRIES,
+)
+
+WINDOW = 32768
+
+# Per-lane status codes (see errors.Status for the host-visible taxonomy).
+_OK = 0
+_EOB = 1          # reached end of block (not an error)
+_ERR_LITLEN = int(E.Status.INVALID_LITERAL_LENGTH_CODE)
+_ERR_DIST = int(E.Status.INVALID_DISTANCE_CODE)
+_ERR_TOO_FAR = int(E.Status.DISTANCE_TOO_FAR_BACK)
+_ERR_TRUNC = int(E.Status.INSUFFICIENT_INPUT)
+
+
+# ---------------------------------------------------------------------------
+# Phase 1: symbol decode
+# ---------------------------------------------------------------------------
+
+
+def decode_symbols(
+    words,        # u32[B, Wmax]  stream bits, little-endian u32 words
+    bit_pos,      # i32[B]        current bit position per stream
+    bit_end,      # i32[B]        total valid bits per stream
+    out_pos,      # i32[B]        bytes already produced (for dist checks)
+    active,       # bool[B]       lanes to decode this launch
+    table_id,     # i32[B]        row into the stacked tables
+    litlen,       # u32[T, 4096]
+    litlen_sec,   # u32[T, S]
+    dist,         # u32[T, 512]
+    dist_sec,     # u32[T, S2]
+    max_steps: int,
+):
+    """Run up to ``max_steps`` decode steps on every active lane.
+
+    Returns (records, state): records are ``(lit_u32, lit_count, length,
+    dist)`` each ``[max_steps, B]``; state is ``(bit_pos, out_pos, status)``
+    where status is ``_OK`` (ran out of steps), ``_EOB``, or an error code.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B = bit_pos.shape[0]
+    i32 = jnp.int32
+
+    def fetch(pos):
+        """32 stream bits starting at bit ``pos`` (per lane)."""
+        widx = pos >> 5
+        sh = (pos & 31).astype(jnp.uint32)
+        rows = jnp.arange(B)
+        w0 = words[rows, widx].astype(jnp.uint32)
+        w1 = words[rows, jnp.minimum(widx + 1, words.shape[1] - 1)].astype(jnp.uint32)
+        lo = w0 >> sh
+        hi = jnp.where(sh == 0, jnp.uint32(0), (w1 << (32 - sh).astype(jnp.uint32)))
+        return (lo | hi).astype(jnp.uint32)
+
+    len_base = jnp.asarray(
+        np.concatenate([LEN_SYM_TO_LEN_BASE, [0, 0, 0]]).astype(np.int32)
+    )
+    len_extra = jnp.asarray(
+        np.concatenate([LEN_SYM_TO_LEN_EXTRA, [0, 0, 0]]).astype(np.int32)
+    )
+    dist_base_t = jnp.asarray(
+        np.concatenate([DIST_SYM_TO_DIST_BASE, [0, 0]]).astype(np.int32)
+    )
+    dist_extra_t = jnp.asarray(
+        np.concatenate([DIST_SYM_TO_DIST_EXTRA, [0, 0]]).astype(np.int32)
+    )
+
+    rec_lit = jnp.zeros((max_steps, B), jnp.uint32)
+    rec_cnt = jnp.zeros((max_steps, B), jnp.int8)
+    rec_len = jnp.zeros((max_steps, B), jnp.int32)
+    rec_dst = jnp.zeros((max_steps, B), jnp.int32)
+
+    status0 = jnp.where(active, _OK, _EOB).astype(jnp.int8)
+
+    def cond(state):
+        i, _, _, status, *_ = state
+        return (i < max_steps) & jnp.any(status == _OK)
+
+    def body(state):
+        i, bpos, opos, status, rl, rc, rn, rd = state
+        running = status == _OK
+
+        ubits = fetch(bpos)
+        e = litlen[table_id, (ubits & 4095).astype(i32)].astype(jnp.uint32)
+        ecode_bits = (e & 0xFF).astype(i32)
+
+        is_lit = (e & 0x8000) != 0
+        # Chained second literal lookup (multi-byte output per gather).
+        bits2 = ubits >> ecode_bits.astype(jnp.uint32)
+        e2 = litlen[table_id, (bits2 & 4095).astype(i32)].astype(jnp.uint32)
+        e2code_bits = (e2 & 0xFF).astype(i32)
+        is_lit2 = is_lit & ((e2 & 0x8000) != 0)
+
+        cnt1 = ((e >> 8) & 0xF).astype(i32)
+        cnt2 = ((e2 >> 8) & 0xF).astype(i32)
+        lit1 = ((e >> 16) & 0xFFFF).astype(jnp.uint32)
+        lit2 = ((e2 >> 16) & 0xFFFF).astype(jnp.uint32)
+        lit_packed = jnp.where(
+            is_lit2, lit1 | (lit2 << (8 * cnt1).astype(jnp.uint32)), lit1
+        )
+        lit_count = jnp.where(is_lit2, cnt1 + cnt2, jnp.where(is_lit, cnt1, 0))
+        lit_bits = jnp.where(is_lit2, ecode_bits + e2code_bits,
+                             jnp.where(is_lit, ecode_bits, 0))
+
+        # Non-literal: secondary table, length entry, EOF, or invalid.
+        exceptional = (e & 0x4000) != 0
+        has_secondary = (e & 0x2000) != 0
+        sec_idx = ((e >> 16).astype(i32) + ((ubits >> 12) & (e & 0xFF)).astype(i32))
+        se = litlen_sec[table_id, jnp.clip(sec_idx, 0, litlen_sec.shape[1] - 1)].astype(i32)
+        sec_sym = se >> 4
+        sec_bits = se & 0xF
+
+        # symbol resolution for the length path
+        #  - non-exceptional length entry: base/extra from the entry
+        #  - secondary: lit / EOF / length symbol
+        sec_is_lit = has_secondary & (sec_sym < 256)
+        sec_is_eof = has_secondary & (sec_sym == 256)
+        sec_is_len = has_secondary & (sec_sym > 256)
+        plain_len = ~is_lit & ~exceptional
+        plain_eof = ~is_lit & exceptional & ~has_secondary & (ecode_bits != 0)
+        invalid_ll = ~is_lit & exceptional & ~has_secondary & (ecode_bits == 0)
+
+        lsym_idx = jnp.clip(sec_sym - 257, 0, 30)
+        length_base = jnp.where(
+            plain_len, (e >> 16).astype(i32), len_base[lsym_idx]
+        )
+        length_extra = jnp.where(
+            plain_len, ((e >> 8) & 0xFF).astype(i32), len_extra[lsym_idx]
+        )
+        ll_bits = jnp.where(plain_len, ecode_bits, sec_bits)
+
+        is_len = plain_len | sec_is_len
+        rem = ubits >> ll_bits.astype(jnp.uint32)
+        length = length_base + (rem & ((jnp.uint32(1) << length_extra.astype(jnp.uint32)) - 1)).astype(i32)
+
+        # Distance decode at bit_pos + ll_bits + length_extra.
+        dpos = bpos + ll_bits + length_extra
+        dbits = fetch(dpos)
+        de = dist[table_id, (dbits & 511).astype(i32)].astype(jnp.uint32)
+        d_is_prim = (de & 0x8000) != 0
+        d_sec_idx = ((de >> 16).astype(i32) + ((dbits >> 9) & (de & 0xFF)).astype(i32))
+        dse = dist_sec[table_id, jnp.clip(d_sec_idx, 0, dist_sec.shape[1] - 1)].astype(i32)
+        d_sec_sym = dse >> 4
+        d_invalid = ~d_is_prim & (((de >> 8) == 0) | (d_sec_sym >= 30))
+        dist_base = jnp.where(
+            d_is_prim, (de >> 16).astype(i32), dist_base_t[jnp.clip(d_sec_sym, 0, 31)]
+        )
+        dist_extra = jnp.where(
+            d_is_prim, ((de >> 8) & 0xF).astype(i32), dist_extra_t[jnp.clip(d_sec_sym, 0, 31)]
+        )
+        d_code_bits = jnp.where(d_is_prim, (de & 0xFF).astype(i32), dse & 0xF)
+        drem = dbits >> d_code_bits.astype(jnp.uint32)
+        distance = dist_base + (drem & ((jnp.uint32(1) << dist_extra.astype(jnp.uint32)) - 1)).astype(i32)
+
+        # Consumed bits per outcome.
+        consumed = jnp.where(
+            is_lit,
+            lit_bits,
+            jnp.where(
+                sec_is_lit | sec_is_eof,
+                sec_bits,
+                jnp.where(
+                    plain_eof,
+                    ecode_bits,
+                    ll_bits + length_extra + d_code_bits + dist_extra,
+                ),
+            ),
+        )
+
+        # Truncation: consuming past the end of the stream.
+        truncated = running & (bpos + consumed > bit_end)
+
+        is_eof = plain_eof | sec_is_eof
+        too_far = is_len & (distance > opos)
+
+        err = jnp.where(
+            invalid_ll,
+            _ERR_LITLEN,
+            jnp.where(
+                is_len & d_invalid,
+                _ERR_DIST,
+                jnp.where(is_len & too_far, _ERR_TOO_FAR, _OK),
+            ),
+        ).astype(jnp.int8)
+        err = jnp.where(truncated, jnp.int8(_ERR_TRUNC), err)
+
+        commit = running & ~truncated & (err == _OK) & ~is_eof
+
+        out_lit = jnp.where(commit & is_lit, lit_packed, 0)
+        sec_lit_commit = commit & sec_is_lit
+        out_lit = jnp.where(sec_lit_commit, sec_sym.astype(jnp.uint32), out_lit)
+        out_cnt = jnp.where(
+            commit,
+            jnp.where(is_lit, lit_count, jnp.where(sec_is_lit, 1, 0)),
+            0,
+        ).astype(jnp.int8)
+        out_len = jnp.where(commit & is_len, length, 0)
+        out_dst = jnp.where(commit & is_len, distance, 0)
+
+        rl = rl.at[i].set(out_lit)
+        rc = rc.at[i].set(out_cnt)
+        rn = rn.at[i].set(out_len)
+        rd = rd.at[i].set(out_dst)
+
+        new_bpos = jnp.where(commit | (running & is_eof & ~truncated), bpos + consumed, bpos)
+        new_opos = opos + out_cnt.astype(i32) + out_len
+        new_status = jnp.where(
+            running,
+            jnp.where(
+                truncated | (err != _OK),
+                jnp.where(truncated, jnp.int8(_ERR_TRUNC), err),
+                jnp.where(is_eof, jnp.int8(_EOB), jnp.int8(_OK)),
+            ),
+            status,
+        )
+        return (i + 1, new_bpos, new_opos, new_status, rl, rc, rn, rd)
+
+    init = (jnp.int32(0), bit_pos, out_pos, status0, rec_lit, rec_cnt, rec_len, rec_dst)
+    _, bpos, opos, status, rl, rc, rn, rd = jax.lax.while_loop(cond, body, init)
+    return (rl, rc, rn, rd), (bpos, opos, status)
+
+
+# ---------------------------------------------------------------------------
+# Phase 2: materialization
+# ---------------------------------------------------------------------------
+
+
+def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | None = None):
+    """Expand decode records into output bytes.
+
+    Args:
+      records: ``(lit_u32[K,B], cnt[K,B], len[K,B], dist[K,B])``.
+      window: uint8[B, 32768] — prior output (back-reference context),
+        right-aligned (last byte = most recent).
+      produced: i32[B] — bytes this launch will produce (from the symbol
+        phase), used only for masking.
+      out_capacity: static bound on ``produced``.
+
+    Returns uint8[B, out_capacity] plus the updated window.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rl, rc, rn, rd = records
+    K, B = rl.shape
+    i32 = jnp.int32
+
+    adv = rc.astype(i32) + rn  # [K, B] bytes per record
+    advT = adv.T  # [B, K]
+    start = jnp.cumsum(advT, axis=1) - advT  # exclusive prefix, per stream
+
+    ext = WINDOW + out_capacity
+    if ptr_rounds is None:
+        ptr_rounds = max(1, (ext - 1).bit_length())
+
+    # --- literal scatter -------------------------------------------------
+    # Each record contributes up to 4 literal bytes at start..start+cnt.
+    litT = rl.T.astype(jnp.uint32)
+    cntT = rc.T.astype(i32)
+    row = jax.lax.broadcasted_iota(i32, (B, K), 0)
+    vals = jnp.zeros((B, ext), jnp.int32)
+    drop = B * ext
+    for j in range(4):
+        has = j < cntT
+        byte = ((litT >> (8 * j)) & 0xFF).astype(jnp.int32)
+        tgt = jnp.where(has, row * ext + WINDOW + start + j, drop)
+        vals = (
+            vals.reshape(-1)
+            .at[tgt.reshape(-1)]
+            .add(jnp.where(has, byte, 0).reshape(-1), mode="drop")
+            .reshape(B, ext)
+        )
+
+    # --- back-reference pointers ----------------------------------------
+    # record id per output position: ones at record starts, cumsum.
+    lenT = rn.T
+    dstT = rd.T
+    is_ref = lenT > 0
+    marks = jnp.zeros((B, ext), jnp.int32)
+    tgt = jnp.where(advT > 0, row * ext + WINDOW + start, drop)
+    marks = (
+        marks.reshape(-1)
+        .at[tgt.reshape(-1)]
+        .add(1, mode="drop")
+        .reshape(B, ext)
+    )
+    # Scatter per-record dist (0 for literal records) at starts, then
+    # propagate to the whole record span via a segmented max (records are
+    # contiguous, so a cummax keyed by record id works).
+    dist_at_start = jnp.zeros((B, ext), jnp.int32)
+    tgt_ref = jnp.where(is_ref, row * ext + WINDOW + start, drop)
+    dist_at_start = (
+        dist_at_start.reshape(-1)
+        .at[tgt_ref.reshape(-1)]
+        .add(jnp.where(is_ref, dstT, 0).reshape(-1), mode="drop")
+        .reshape(B, ext)
+    )
+    rec_id = jnp.cumsum(marks, axis=1)  # 0 in window, >=1 in records
+    # Distance for position i = the distance scattered at the start of its
+    # record, recovered with a cummax over (rec_id, dist) pairs packed as
+    # rec_id * 2^16 + dist (dist <= 32768 fits 16 bits; rec_id < 2^14 keeps
+    # the key in int32).  A literal record's start contributes dist 0, and
+    # rec_id strictly increases, so positions in literal records always see
+    # dist 0.
+    keyed = jax.lax.cummax(rec_id * 65536 + dist_at_start, axis=1)
+    pos_dist = keyed & 0xFFFF
+
+    posi = jax.lax.broadcasted_iota(i32, (B, ext), 1)
+    produced_col = WINDOW + produced[:, None]
+    in_new = (posi >= WINDOW) & (posi < produced_col)
+    is_copy = in_new & (pos_dist > 0)
+
+    ptr = jnp.where(is_copy, posi - pos_dist, posi)
+
+    # Pointer doubling: each copy chain step strictly decreases the
+    # position, so ceil(log2(ext)) rounds of p = p[p] reach a fixed point.
+    p = ptr
+    for _ in range(ptr_rounds):
+        p = jnp.take_along_axis(p, p, axis=1)
+
+    base = jnp.concatenate([window.astype(jnp.int32), vals[:, WINDOW:]], axis=1)
+    out_ext = jnp.take_along_axis(base, p, axis=1)
+    out = out_ext[:, WINDOW:].astype(jnp.uint8)
+    out = jnp.where(in_new[:, WINDOW:], out, 0)
+
+    # New window: last 32K of (window ++ produced output), per stream.
+    full = jnp.concatenate([window.astype(jnp.int32), out.astype(jnp.int32)], axis=1)
+    shift = produced  # how far the window advanced
+    idx = jnp.clip(
+        jax.lax.broadcasted_iota(i32, (B, WINDOW), 1) + shift[:, None],
+        0,
+        full.shape[1] - 1,
+    )
+    new_window = jnp.take_along_axis(full, idx, axis=1).astype(jnp.uint8)
+    return out, new_window
+
+
+# ---------------------------------------------------------------------------
+# Host orchestration
+# ---------------------------------------------------------------------------
+
+
+class _HostBitReader:
+    """Host-side bit reader for block headers (whole buffer available)."""
+
+    def __init__(self, data: bytes, bitpos: int = 0):
+        self.data = data
+        self.pos = bitpos
+
+    def bits_left(self) -> int:
+        return len(self.data) * 8 - self.pos
+
+    def peek(self, n: int) -> int:
+        byte0 = self.pos >> 3
+        window = int.from_bytes(self.data[byte0 : byte0 + 9], "little")
+        return (window >> (self.pos & 7)) & ((1 << n) - 1)
+
+    def take(self, n: int) -> int:
+        if self.bits_left() < n:
+            raise E.InsufficientInput()
+        v = self.peek(n)
+        self.pos += n
+        return v
+
+
+def _parse_dynamic_header(r: _HostBitReader):
+    """Parse HLIT/HDIST/HCLEN + code lengths; build the block's tables.
+
+    Same semantics as models/decompressor (reference: src/decompress.rs:
+    415-434, 440-555) but for whole-buffer input.
+    """
+    hlit = r.take(5) + 257
+    hdist = r.take(5) + 1
+    hclen = r.take(4) + 4
+    if hlit > 286:
+        raise E.InvalidHlit()
+    if hdist > 30:
+        raise E.InvalidHdist()
+
+    cl_lengths = np.zeros(19, np.int64)
+    for i in range(hclen):
+        cl_lengths[CLCL_ORDER[i]] = r.take(3)
+    cl = build_table(cl_lengths, None, 128, is_distance_table=False, double_literal=False)
+    if not cl.ok:
+        raise E.BadCodeLengthHuffmanTree()
+
+    lengths = np.zeros(320, np.int64)
+    n = 0
+    total = hlit + hdist
+    while n < total:
+        if r.bits_left() < 7:
+            raise E.InsufficientInput()
+        entry = int(cl.primary[r.peek(7)])
+        length = entry & 0x7
+        symbol = (entry >> 16) & 0xFF
+        if symbol <= 15:
+            lengths[n] = symbol
+            n += 1
+            r.take(length)
+        else:
+            if symbol == 16:
+                base, extra = 3, 2
+            elif symbol == 17:
+                base, extra = 3, 3
+            else:
+                base, extra = 11, 7
+            r.take(length)
+            if symbol == 16:
+                if n == 0:
+                    raise E.InvalidCodeLengthRepeat()
+                value = lengths[n - 1]
+            else:
+                value = 0
+            repeat = r.take(extra) + base
+            if n + repeat > total:
+                raise E.InvalidCodeLengthRepeat()
+            lengths[n : n + repeat] = value
+            n += repeat
+
+    lengths[288 : 288 + hdist] = lengths[hlit:total].copy()
+    lengths[hlit:288] = 0
+    lengths[288 + hdist : 320] = 0
+
+    if lengths[256] == 0:
+        raise E.BadLiteralLengthHuffmanTree()
+    litlen = build_table(
+        lengths[:hlit], LITLEN_TABLE_ENTRIES, DEFAULT_LITLEN_TABLE_SIZE,
+        is_distance_table=False, double_literal=True,
+    )
+    if not litlen.ok:
+        raise E.BadCodeLengthHuffmanTree()
+    dist_lengths = lengths[288:320]
+    if not dist_lengths.any():
+        dist_primary = np.zeros(DEFAULT_DIST_TABLE_SIZE, np.uint32)
+        dist_secondary = np.zeros(0, np.uint16)
+    else:
+        dist = build_table(
+            dist_lengths, DISTANCE_TABLE_ENTRIES, DEFAULT_DIST_TABLE_SIZE,
+            is_distance_table=True, double_literal=False,
+        )
+        if not dist.ok:
+            raise E.BadDistanceHuffmanTree()
+        dist_primary = dist.primary
+        dist_secondary = dist.secondary
+    return litlen.primary, litlen.secondary, dist_primary, dist_secondary
+
+
+_FIXED_TABLES = None
+
+
+def _fixed_tables():
+    global _FIXED_TABLES
+    if _FIXED_TABLES is None:
+        litlen = np.tile(FIXED_LITLEN_TABLE, DEFAULT_LITLEN_TABLE_SIZE // 512)
+        dist = np.tile(FIXED_DIST_TABLE, DEFAULT_DIST_TABLE_SIZE // 32)
+        _FIXED_TABLES = (litlen, np.zeros(0, np.uint16), dist, np.zeros(0, np.uint16))
+    return _FIXED_TABLES
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_decode(max_steps: int):
+    import jax
+
+    return jax.jit(
+        functools.partial(decode_symbols, max_steps=max_steps),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _jit_materialize(out_capacity: int):
+    import jax
+
+    return jax.jit(functools.partial(materialize, out_capacity=out_capacity))
+
+
+class _StreamState:
+    __slots__ = (
+        "data", "bitpos", "out", "window", "done", "error", "last_block",
+        "tables", "in_block",
+    )
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.bitpos = 0
+        self.out = bytearray()
+        self.window = np.zeros(WINDOW, np.uint8)
+        self.done = False
+        self.error: E.DecompressionError | None = None
+        self.last_block = False
+        self.tables = None
+        self.in_block = False
+
+
+def _advance_headers(st: _StreamState) -> None:
+    """Parse framing until the stream enters a compressed block or ends.
+
+    Stored blocks are copied host-side (they are memcpys; no device value).
+    """
+    r = _HostBitReader(st.data, st.bitpos)
+    try:
+        if st.bitpos == 0:
+            cmf = r.take(8)
+            flg = r.take(8)
+            if (
+                cmf & 0x0F != 0x08
+                or (cmf & 0xF0) > 0x70
+                or flg & 0x20 != 0
+                or ((cmf << 8) | flg) % 31 != 0
+            ):
+                raise E.BadZlibHeader()
+        while not st.done and not st.in_block:
+            if st.last_block:
+                # checksum
+                r.pos = (r.pos + 7) & ~7
+                stored = int.from_bytes(
+                    r.take(32).to_bytes(4, "little"), "big"
+                )
+                import zlib
+
+                if stored != zlib.adler32(bytes(st.out)):
+                    raise E.WrongChecksum()
+                st.done = True
+                st.bitpos = r.pos
+                return
+            header = r.take(3)
+            st.last_block = bool(header & 1)
+            btype = header >> 1
+            if btype == 0b00:
+                r.pos = (r.pos + 7) & ~7
+                length = r.take(16)
+                nlen = r.take(16)
+                if nlen != (~length & 0xFFFF):
+                    raise E.InvalidUncompressedBlockLength()
+                byte0 = r.pos >> 3
+                if len(st.data) - byte0 < length:
+                    raise E.InsufficientInput()
+                chunk = st.data[byte0 : byte0 + length]
+                st.out += chunk
+                _update_window(st, np.frombuffer(chunk, np.uint8))
+                r.pos += length * 8
+            elif btype == 0b01:
+                st.tables = _fixed_tables()
+                st.in_block = True
+            elif btype == 0b10:
+                st.tables = _parse_dynamic_header(r)
+                st.in_block = True
+            else:
+                raise E.InvalidBlockType()
+        st.bitpos = r.pos
+    except E.DecompressionError as err:
+        st.error = err
+        st.done = True
+        st.bitpos = r.pos
+
+
+def _update_window(st: _StreamState, new: np.ndarray) -> None:
+    if len(new) >= WINDOW:
+        st.window = new[-WINDOW:].copy()
+    elif len(new):
+        st.window = np.concatenate([st.window[len(new) :], new])
+
+
+def decompress_batch(
+    streams: list[bytes],
+    max_steps: int = 8192,
+    out_capacity: int | None = None,
+) -> list[bytes | E.DecompressionError]:
+    """Decode many zlib streams with one device lane per stream.
+
+    Returns, per stream, either the decompressed bytes or the error.  The
+    device decodes compressed-block payloads; the host parses framing and
+    rebuilds Huffman tables between blocks.
+    """
+    import jax.numpy as jnp
+
+    states = [_StreamState(s) for s in streams]
+    for st in states:
+        _advance_headers(st)
+
+    B = len(states)
+    Wmax = max((len(st.data) + 3) // 4 for st in states) + 2
+    words_np = np.zeros((B, Wmax), np.uint32)
+    for i, st in enumerate(states):
+        padded = st.data + bytes((-len(st.data)) % 4) + bytes(8)
+        words_np[i, : len(padded) // 4] = np.frombuffer(padded, "<u4")
+    words = jnp.asarray(words_np)
+    bit_end = jnp.asarray(
+        np.array([len(st.data) * 8 for st in states], np.int32)
+    )
+
+    if out_capacity is None:
+        # A record step produces <= 258 bytes; bound per launch.
+        out_capacity = max_steps * 4  # tuned: raise for backref-heavy data
+
+    decode = _jit_decode(max_steps)
+
+    while any(not st.done and st.in_block for st in states):
+        active_np = np.array(
+            [not st.done and st.in_block for st in states], bool
+        )
+        # Stack tables, deduplicating identical ones.
+        table_rows = {}
+        table_id = np.zeros(B, np.int32)
+        stacked = []
+        for i, st in enumerate(states):
+            if not active_np[i] or st.tables is None:
+                continue
+            key = id(st.tables) if st.tables is _FIXED_TABLES else None
+            hkey = (
+                st.tables[0].tobytes(),
+                st.tables[2].tobytes(),
+                st.tables[1].tobytes(),
+                st.tables[3].tobytes(),
+            )
+            if hkey not in table_rows:
+                table_rows[hkey] = len(stacked)
+                stacked.append(st.tables)
+            table_id[i] = table_rows[hkey]
+
+        T = max(len(stacked), 1)
+        sec_max = max([len(t[1]) for t in stacked] + [1])
+        dsec_max = max([len(t[3]) for t in stacked] + [1])
+        litlen_np = np.zeros((T, DEFAULT_LITLEN_TABLE_SIZE), np.uint32)
+        sec_np = np.zeros((T, sec_max), np.uint32)
+        dist_np = np.zeros((T, DEFAULT_DIST_TABLE_SIZE), np.uint32)
+        dsec_np = np.zeros((T, dsec_max), np.uint32)
+        for t, (ll, ls, dd, ds) in enumerate(stacked):
+            litlen_np[t] = ll
+            sec_np[t, : len(ls)] = ls
+            dist_np[t] = dd
+            dsec_np[t, : len(ds)] = ds
+
+        bit_pos = jnp.asarray(np.array([st.bitpos for st in states], np.int32))
+        out_pos = jnp.asarray(np.array([len(st.out) for st in states], np.int32))
+        window = jnp.asarray(np.stack([st.window for st in states]))
+
+        records, (bpos, opos, statuses) = decode(
+            words,
+            bit_pos,
+            bit_end,
+            out_pos,
+            jnp.asarray(active_np),
+            jnp.asarray(table_id),
+            jnp.asarray(litlen_np),
+            jnp.asarray(sec_np),
+            jnp.asarray(dist_np),
+            jnp.asarray(dsec_np),
+        )
+        produced = opos - out_pos
+        produced_np = np.asarray(produced)
+        cap = int(produced_np.max(initial=0))
+        cap = max(256, 1 << int(np.ceil(np.log2(max(cap, 1)))))
+        out, new_window = _jit_materialize(cap)(records, window, produced)
+        out_np = np.asarray(out)
+        new_window_np = np.asarray(new_window)
+        bpos_np = np.asarray(bpos)
+        status_np = np.asarray(statuses)
+
+        for i, st in enumerate(states):
+            if not active_np[i]:
+                continue
+            st.out += out_np[i, : produced_np[i]].tobytes()
+            st.window = new_window_np[i]
+            st.bitpos = int(bpos_np[i])
+            s = int(status_np[i])
+            if s == _EOB:
+                st.in_block = False
+                _advance_headers(st)
+            elif s == _OK:
+                pass  # ran out of steps; continue same block
+            else:
+                st.error = E.error_for_status(s)
+                st.done = True
+
+    results: list[bytes | E.DecompressionError] = []
+    for st in states:
+        if st.error is not None:
+            results.append(st.error)
+        elif not st.done:
+            results.append(E.InsufficientInput())
+        else:
+            results.append(bytes(st.out))
+    return results
