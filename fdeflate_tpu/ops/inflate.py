@@ -57,6 +57,7 @@ _ERR_LITLEN = int(E.Status.INVALID_LITERAL_LENGTH_CODE)
 _ERR_DIST = int(E.Status.INVALID_DISTANCE_CODE)
 _ERR_TOO_FAR = int(E.Status.DISTANCE_TOO_FAR_BACK)
 _ERR_TRUNC = int(E.Status.INSUFFICIENT_INPUT)
+_STOPPED = 2      # reached its bit_stop position (speculative chunk decode)
 
 
 # ---------------------------------------------------------------------------
@@ -76,12 +77,14 @@ def decode_symbols(
     dist,         # u32[T, 512]
     dist_sec,     # u32[T, S2]
     max_steps: int,
+    bit_stop=None,  # i32[B] — optional stop positions (speculative chunks)
 ):
     """Run up to ``max_steps`` decode steps on every active lane.
 
     Returns (records, state): records are ``(lit_u32, lit_count, length,
-    dist)`` each ``[max_steps, B]``; state is ``(bit_pos, out_pos, status)``
-    where status is ``_OK`` (ran out of steps), ``_EOB``, or an error code.
+    dist, bit_pos_at_step)`` each ``[max_steps, B]``; state is ``(bit_pos,
+    out_pos, status)`` where status is ``_OK`` (ran out of steps), ``_EOB``,
+    ``_STOPPED`` (crossed ``bit_stop``), or an error code.
     """
     import jax
     import jax.numpy as jnp
@@ -117,6 +120,10 @@ def decode_symbols(
     rec_cnt = jnp.zeros((max_steps, B), jnp.int8)
     rec_len = jnp.zeros((max_steps, B), jnp.int32)
     rec_dst = jnp.zeros((max_steps, B), jnp.int32)
+    rec_pos = jnp.full((max_steps, B), -1, jnp.int32)
+
+    if bit_stop is None:
+        bit_stop = jnp.full((B,), 0x7FFFFFFF, jnp.int32)
 
     status0 = jnp.where(active, _OK, _EOB).astype(jnp.int8)
 
@@ -125,7 +132,7 @@ def decode_symbols(
         return (i < max_steps) & jnp.any(status == _OK)
 
     def body(state):
-        i, bpos, opos, status, rl, rc, rn, rd = state
+        i, bpos, opos, status, rl, rc, rn, rd, rp = state
         running = status == _OK
 
         ubits = fetch(bpos)
@@ -249,6 +256,7 @@ def decode_symbols(
         rc = rc.at[i].set(out_cnt)
         rn = rn.at[i].set(out_len)
         rd = rd.at[i].set(out_dst)
+        rp = rp.at[i].set(jnp.where(running, bpos, -1))
 
         new_bpos = jnp.where(commit | (running & is_eof & ~truncated), bpos + consumed, bpos)
         new_opos = opos + out_cnt.astype(i32) + out_len
@@ -257,15 +265,24 @@ def decode_symbols(
             jnp.where(
                 truncated | (err != _OK),
                 jnp.where(truncated, jnp.int8(_ERR_TRUNC), err),
-                jnp.where(is_eof, jnp.int8(_EOB), jnp.int8(_OK)),
+                jnp.where(
+                    is_eof,
+                    jnp.int8(_EOB),
+                    jnp.where(
+                        new_bpos >= bit_stop, jnp.int8(_STOPPED), jnp.int8(_OK)
+                    ),
+                ),
             ),
             status,
         )
-        return (i + 1, new_bpos, new_opos, new_status, rl, rc, rn, rd)
+        return (i + 1, new_bpos, new_opos, new_status, rl, rc, rn, rd, rp)
 
-    init = (jnp.int32(0), bit_pos, out_pos, status0, rec_lit, rec_cnt, rec_len, rec_dst)
-    _, bpos, opos, status, rl, rc, rn, rd = jax.lax.while_loop(cond, body, init)
-    return (rl, rc, rn, rd), (bpos, opos, status)
+    init = (
+        jnp.int32(0), bit_pos, out_pos, status0,
+        rec_lit, rec_cnt, rec_len, rec_dst, rec_pos,
+    )
+    _, bpos, opos, status, rl, rc, rn, rd, rp = jax.lax.while_loop(cond, body, init)
+    return (rl, rc, rn, rd, rp), (bpos, opos, status)
 
 
 # ---------------------------------------------------------------------------
@@ -289,7 +306,7 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
     import jax
     import jax.numpy as jnp
 
-    rl, rc, rn, rd = records
+    rl, rc, rn, rd = records[:4]
     K, B = rl.shape
     i32 = jnp.int32
 

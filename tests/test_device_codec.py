@@ -1,0 +1,151 @@
+"""Device-path tests (run on CPU; the same programs run on TPU).
+
+Covers the JAX batch encoder (bit-exact vs the numpy oracle), the batched
+two-phase decoder, speculative chunked decode, and the sharded multi-device
+codec over the virtual 8-device mesh.
+"""
+
+import zlib
+
+import numpy as np
+import pytest
+
+import fdeflate_tpu as F
+from fdeflate_tpu import errors as E
+from fdeflate_tpu.ops.inflate import decompress_batch
+from fdeflate_tpu.ops.ultrafast_kernel import compress_batch_ultra_fast
+from fdeflate_tpu.parallel.speculative import decompress_speculative
+
+
+@pytest.fixture(scope="module")
+def rng():
+    return np.random.default_rng(123)
+
+
+class TestDeviceEncoder:
+    def test_bit_exact_vs_host_oracle(self, rng):
+        streams = [
+            b"",
+            b"Hello world!",
+            bytes(2048),
+            bytes([5] * 300),
+            bytes(259),
+            bytes(258 * 3 + 2),
+            rng.integers(0, 256, 1000, dtype=np.uint8).tobytes(),
+            rng.choice([0] * 8 + [1, 200], 5000).astype(np.uint8).tobytes(),
+            b"\x00" * 5 + b"ab" + b"\x00" * 600 + b"xyz" + b"\x00" * 3,
+            bytes(7),
+            bytes(9),
+        ]
+        outs = compress_batch_ultra_fast(streams)
+        for i, (s, o) in enumerate(zip(streams, outs)):
+            assert o == F.compress_to_vec_ultra_fast(s), i
+            assert zlib.decompress(o) == s, i
+
+
+class TestBatchDecoder:
+    def test_mixed_encoders(self, rng):
+        datas = [
+            b"Hello world!",
+            bytes(2048),
+            rng.integers(0, 256, 5000, dtype=np.uint8).tobytes(),
+            (rng.integers(0, 256, 20000, dtype=np.uint8) % 5).tobytes(),
+            b"abcabcabc" * 500,
+            b"",
+        ]
+        streams, expect = [], []
+        for d in datas:
+            for enc in (
+                lambda x: zlib.compress(x, 6),
+                F.compress_to_vec_ultra_fast,
+                lambda x: F.compress_to_vec_with_level(x, 2),
+            ):
+                streams.append(enc(d))
+                expect.append(d)
+        res = decompress_batch(streams, max_steps=2048)
+        for i, (r, e) in enumerate(zip(res, expect)):
+            assert isinstance(r, bytes) and r == e, i
+
+    def test_multi_launch_continuation(self, rng):
+        big = (rng.integers(0, 256, 120_000, dtype=np.uint8) % 7).tobytes()
+        res = decompress_batch([zlib.compress(big, 9)], max_steps=512)
+        assert res[0] == big
+
+    def test_stored_and_window_crossing(self, rng):
+        stored = F.compress_to_vec_with_level(bytes(range(256)) * 300, 0)
+        res = decompress_batch([stored], max_steps=512)
+        assert res[0] == bytes(range(256)) * 300
+
+    def test_errors(self):
+        wc = bytearray(zlib.compress(b"hello world"))
+        wc[-1] ^= 0xFF
+        res = decompress_batch(
+            [b"\x12\x34junk", zlib.compress(b"hi")[:-5], bytes(wc)],
+            max_steps=256,
+        )
+        assert isinstance(res[0], E.BadZlibHeader)
+        assert isinstance(res[1], E.InsufficientInput)
+        assert isinstance(res[2], E.WrongChecksum)
+
+    def test_fixed_block(self):
+        co = zlib.compressobj(1, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
+        data = b"fixed huffman block with backrefs backrefs backrefs"
+        stream = co.compress(data) + co.flush()
+        assert decompress_batch([stream], max_steps=256)[0] == data
+
+
+class TestSpeculativeDecode:
+    def test_ultrafast_streams(self, rng):
+        data = rng.choice([0] * 7 + [40, 90], 100_000).astype(np.uint8).tobytes()
+        comp = F.compress_to_vec_ultra_fast(data)
+        assert decompress_speculative(comp, num_chunks=8) == data
+
+    def test_dense_random(self, rng):
+        data = rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes()
+        comp = F.compress_to_vec_ultra_fast(data)
+        assert decompress_speculative(comp, num_chunks=8) == data
+
+    def test_fallback_multiblock(self, rng):
+        data = (rng.integers(0, 256, 100_000, dtype=np.uint8) % 5).tobytes()
+        comp = zlib.compress(data, 6)
+        assert decompress_speculative(comp, num_chunks=8) == data
+
+    def test_single_block_own_encoder(self, rng):
+        data = (rng.integers(0, 256, 15000, dtype=np.uint8) % 9).tobytes()
+        comp = F.compress_to_vec_with_level(data, 2)
+        assert decompress_speculative(comp, num_chunks=4) == data
+
+
+class TestSharded:
+    def test_sharded_encode_matches_single(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.parallel.shard import make_mesh, sharded_encode_ultrafast
+        from fdeflate_tpu.ops.ultrafast_kernel import finalize_streams
+
+        mesh = make_mesh((8, 1))
+        B, N = 16, 512
+        data = rng.choice([0, 0, 7, 200], size=(B, N)).astype(np.uint8)
+        lengths = np.full(B, N, np.int32)
+        enc = sharded_encode_ultrafast(mesh)
+        words, bits, adler = enc(jnp.asarray(data), jnp.asarray(lengths))
+        outs = finalize_streams(words, bits, adler)
+        for i in range(B):
+            assert zlib.decompress(outs[i]) == data[i].tobytes()
+
+    def test_roundtrip_step_all_devices(self, rng):
+        import __graft_entry__ as G
+
+        G.dryrun_multichip(8)
+
+    def test_checksum_tree_reduce(self, rng):
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.parallel.shard import checksum_tree_reduce, make_mesh
+
+        mesh = make_mesh((1, 8))
+        data = rng.integers(0, 256, (4, 8 * 4096), dtype=np.uint8)
+        ck = checksum_tree_reduce(mesh)(jnp.asarray(data))
+        for i in range(4):
+            assert int(np.asarray(ck)[i]) == zlib.adler32(data[i].tobytes())
