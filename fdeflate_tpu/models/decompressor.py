@@ -589,7 +589,19 @@ def decompress_to_vec_bounded(input: bytes, maxlen: int | None) -> bytes:
 
     Raises ``errors.OutputTooLarge`` (carrying the partial output) if the
     output would exceed ``maxlen``.  Reference: src/decompress.rs:1111-1144.
+
+    Whole-buffer decodes dispatch to the native C++ kernel when it is
+    available; the Python state machine is the fallback (and the oracle the
+    native path is differentially tested against).
     """
+    from . import native
+
+    if native.available():
+        return native.inflate(input, maxlen=maxlen)
+    return _decompress_to_vec_python(input, maxlen)
+
+
+def _decompress_to_vec_python(input: bytes, maxlen: int | None) -> bytes:
     bound = maxlen if maxlen is not None else (1 << 63)
     decoder = Decompressor()
     output = bytearray(min(1024, bound))

@@ -1,0 +1,106 @@
+"""ctypes bindings for the native C++ host codec.
+
+Loads ``libfdeflate_native.so`` (building it from ``native/`` on first use if
+a compiler is available).  All entry points degrade gracefully: callers check
+``available()`` and fall back to the pure-Python implementations.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import pathlib
+import subprocess
+
+from .. import errors as E
+
+_ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
+_SRC = _ROOT / "native" / "fdeflate_native.cpp"
+_LIB = _ROOT / "native" / "libfdeflate_native.so"
+
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    if _tried:
+        return _lib
+    _tried = True
+    if not _LIB.exists() or (
+        _SRC.exists() and _SRC.stat().st_mtime > _LIB.stat().st_mtime
+    ):
+        if not _SRC.exists():
+            return None
+        try:
+            subprocess.run(
+                ["g++", "-O3", "-march=native", "-shared", "-fPIC",
+                 str(_SRC), "-o", str(_LIB)],
+                check=True, capture_output=True, timeout=120,
+            )
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+    except OSError:
+        return None
+
+    lib.fdn_inflate.restype = ctypes.c_longlong
+    lib.fdn_inflate.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_size_t),
+    ]
+    lib.fdn_compress_ultra.restype = ctypes.c_longlong
+    lib.fdn_compress_ultra.argtypes = [
+        ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+    ]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def inflate(data: bytes, ignore_adler32: bool = False,
+            maxlen: int | None = None, size_hint: int | None = None) -> bytes:
+    """Whole-stream decode through the native kernel.
+
+    Raises the matching DecompressionError / OutputTooLarge on failure.
+    """
+    lib = _load()
+    assert lib is not None
+    cap = size_hint if size_hint is not None else max(4 * len(data), 1 << 16)
+    if maxlen is not None:
+        cap = min(cap, maxlen)
+    needed = ctypes.c_size_t(0)
+    while True:
+        out = (ctypes.c_uint8 * cap)()
+        rc = lib.fdn_inflate(
+            data, len(data), out, cap, int(ignore_adler32),
+            ctypes.byref(needed),
+        )
+        if rc >= 0:
+            return bytes(bytearray(out)[:rc])
+        status = -rc
+        if status == int(E.Status.OUTPUT_TOO_LARGE):
+            want = max(needed.value, cap * 2)
+            if maxlen is not None and cap >= maxlen:
+                raise E.OutputTooLarge(bytes(bytearray(out)[: needed.value]))
+            cap = want if maxlen is None else min(want, maxlen)
+            continue
+        raise E.error_for_status(status)
+
+
+def compress_ultra(data: bytes) -> bytes:
+    lib = _load()
+    assert lib is not None
+    cap = 64 + len(data) + len(data) // 2 + (len(data) * 3) // 5
+    while True:
+        out = (ctypes.c_uint8 * cap)()
+        rc = lib.fdn_compress_ultra(data, len(data), out, cap)
+        if rc >= 0:
+            return bytes(bytearray(out)[:rc])
+        cap *= 2

@@ -196,7 +196,19 @@ class UltraFastCompressor:
 
 
 def compress_to_vec_ultra_fast(data) -> bytes:
-    """One-shot ultra-fast compression (reference: src/compress/mod.rs:313-317)."""
+    """One-shot ultra-fast compression (reference: src/compress/mod.rs:313-317).
+
+    Dispatches to the native C++ kernel when available (bit-identical
+    output); the numpy token pipeline is the fallback and oracle.
+    """
+    from . import native
+
+    if native.available():
+        return native.compress_ultra(bytes(data))
+    return _compress_to_vec_ultra_fast_python(data)
+
+
+def _compress_to_vec_ultra_fast_python(data) -> bytes:
     c = UltraFastCompressor()
     c.write_data(data)
     return bytes(c.finish())
