@@ -189,6 +189,16 @@ def compress_to_vec(data) -> bytes:
 
 
 def compress_to_vec_with_level(data, level: int) -> bytes:
+    """One-shot compression; dispatches to the native C++ kernel when
+    available, with the streaming Python Compressor as fallback/oracle."""
+    from . import native
+
+    if native.available():
+        return native.deflate(bytes(data), level)
+    return _compress_to_vec_with_level_python(data, level)
+
+
+def _compress_to_vec_with_level_python(data, level: int) -> bytes:
     c = Compressor(level=level)
     c.write_data(data)
     return bytes(c.finish())

@@ -56,6 +56,11 @@ def _load():
         ctypes.c_char_p, ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
     ]
+    lib.fdn_deflate.restype = ctypes.c_longlong
+    lib.fdn_deflate.argtypes = [
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_int,
+    ]
     _lib = lib
     return _lib
 
@@ -101,6 +106,20 @@ def compress_ultra(data: bytes) -> bytes:
     while True:
         out = (ctypes.c_uint8 * cap)()
         rc = lib.fdn_compress_ultra(data, len(data), out, cap)
+        if rc >= 0:
+            return bytes(bytearray(out)[:rc])
+        cap *= 2
+
+
+def deflate(data: bytes, level: int, zlib_mode: bool = True) -> bytes:
+    """Whole-buffer compression at the given level (0-9)."""
+    lib = _load()
+    assert lib is not None
+    cap = 1024 + len(data) + len(data) // 2
+    while True:
+        out = (ctypes.c_uint8 * cap)()
+        rc = lib.fdn_deflate(min(level, 7), data, len(data), out, cap,
+                             int(zlib_mode))
         if rc >= 0:
             return bytes(bytearray(out)[:rc])
         cap *= 2

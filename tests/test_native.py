@@ -75,3 +75,32 @@ def test_bounded():
     comp = zlib.compress(data)
     with pytest.raises(E.OutputTooLarge):
         F.decompress_to_vec_bounded(comp, 1000)
+
+
+@pytest.mark.parametrize("level", [0, 1, 2, 3, 4, 5, 6, 7, 9])
+def test_deflate_levels_roundtrip(level):
+    rng = np.random.default_rng(level + 50)
+    data = rng.choice(
+        np.frombuffer(b"abcdefgh\x00\x00\x00\x00", np.uint8), 40000
+    ).tobytes()
+    comp = native.deflate(data, level)
+    assert zlib.decompress(comp) == data
+    assert native.inflate(comp) == data
+
+
+def test_deflate_size_close_to_python_oracle():
+    from fdeflate_tpu.models.compressor import _compress_to_vec_with_level_python
+
+    rng = np.random.default_rng(60)
+    data = rng.choice(np.frombuffer(b"aabbbcc\x00", np.uint8), 60000).tobytes()
+    for level in (1, 2, 3, 4, 6):
+        nat = len(native.deflate(data, level))
+        py = len(_compress_to_vec_with_level_python(data, level))
+        # One-shot vs streaming lookahead can differ slightly near EOF.
+        assert abs(nat - py) <= max(64, py // 200), (level, nat, py)
+
+
+def test_deflate_raw_mode():
+    data = b"raw native deflate" * 100
+    comp = native.deflate(data, 3, zlib_mode=False)
+    assert zlib.decompress(comp, wbits=-15) == data
