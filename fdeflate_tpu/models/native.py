@@ -27,6 +27,8 @@ def _load():
     if _tried:
         return _lib
     _tried = True
+    if os.environ.get("FDEFLATE_TPU_NO_NATIVE"):
+        return None
     if not _LIB.exists() or (
         _SRC.exists() and _SRC.stat().st_mtime > _LIB.stat().st_mtime
     ):
