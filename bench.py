@@ -190,7 +190,11 @@ def _device_worker(batch: int, length: int, q) -> None:
         q.put(("err", repr(e)))
 
 
-def run_device_guarded(batch: int, length: int, timeout_s: float = 600.0):
+def run_device_guarded(
+    batch: int,
+    length: int,
+    timeout_s: float = float(os.environ.get("FDN_BENCH_TIMEOUT", "600")),
+):
     """Run the device benchmark in a subprocess with a hard timeout so a
     wedged accelerator tunnel cannot hang the whole benchmark."""
     import multiprocessing as mp

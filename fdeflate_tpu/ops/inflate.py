@@ -78,13 +78,21 @@ def decode_symbols(
     dist_sec,     # u32[T, S2]
     max_steps: int,
     bit_stop=None,  # i32[B] — optional stop positions (speculative chunks)
+    chain: int = 4,
 ):
     """Run up to ``max_steps`` decode steps on every active lane.
 
-    Returns (records, state): records are ``(lit_u32, lit_count, length,
-    dist, bit_pos_at_step)`` each ``[max_steps, B]``; state is ``(bit_pos,
-    out_pos, status)`` where status is ``_OK`` (ran out of steps), ``_EOB``,
-    ``_STOPPED`` (crossed ``bit_stop``), or an error code.
+    ``chain`` (1, 2 or 4) sets how many consecutive literal table entries one
+    step may consume — each entry resolves up to two output bytes, so a step
+    emits up to ``2 * chain`` literals.  A chain stops at any non-literal
+    entry, so it can never run past the end-of-block symbol.  Speculative
+    chunk decoding uses ``chain=1`` so every symbol boundary is recorded for
+    stitching.
+
+    Returns (records, state): records are ``(lit_lo, lit_hi, lit_count,
+    length, dist, bit_pos_at_step)`` each ``[max_steps, B]``; state is
+    ``(bit_pos, out_pos, status)`` where status is ``_OK`` (ran out of
+    steps), ``_EOB``, ``_STOPPED`` (crossed ``bit_stop``), or an error code.
     """
     import jax
     import jax.numpy as jnp
@@ -117,6 +125,7 @@ def decode_symbols(
     )
 
     rec_lit = jnp.zeros((max_steps, B), jnp.uint32)
+    rec_lit_hi = jnp.zeros((max_steps, B), jnp.uint32)
     rec_cnt = jnp.zeros((max_steps, B), jnp.int8)
     rec_len = jnp.zeros((max_steps, B), jnp.int32)
     rec_dst = jnp.zeros((max_steps, B), jnp.int32)
@@ -132,7 +141,7 @@ def decode_symbols(
         return (i < max_steps) & jnp.any(status == _OK)
 
     def body(state):
-        i, bpos, opos, status, rl, rc, rn, rd, rp = state
+        i, bpos, opos, status, rl, rlh, rc, rn, rd, rp = state
         running = status == _OK
 
         ubits = fetch(bpos)
@@ -140,22 +149,58 @@ def decode_symbols(
         ecode_bits = (e & 0xFF).astype(i32)
 
         is_lit = (e & 0x8000) != 0
-        # Chained second literal lookup (multi-byte output per gather).
-        bits2 = ubits >> ecode_bits.astype(jnp.uint32)
-        e2 = litlen[table_id, (bits2 & 4095).astype(i32)].astype(jnp.uint32)
-        e2code_bits = (e2 & 0xFF).astype(i32)
-        is_lit2 = is_lit & ((e2 & 0x8000) != 0)
+        # Chained literal lookups (multi-byte output per gather).  Two codes
+        # fit in one 32-bit window (<=24 bits); chains of 3-4 refetch once.
+        lit_lo = jnp.zeros((B,), jnp.uint32)
+        lit_hi = jnp.zeros((B,), jnp.uint32)
+
+        def place(lo, hi, lit, byte_off, active_mask):
+            sh = (8 * byte_off).astype(jnp.uint32)
+            sh_a = jnp.minimum(sh, 31)
+            sh_b = jnp.minimum(jnp.maximum(sh.astype(i32) - 32, 0), 31).astype(jnp.uint32)
+            lo_c = jnp.where(sh < 32, lit << sh_a, 0)
+            hi_c = jnp.where(sh < 32, (lit >> 1) >> (31 - sh_a), lit << sh_b)
+            lo = jnp.where(active_mask, lo | lo_c, lo)
+            hi = jnp.where(active_mask, hi | hi_c, hi)
+            return lo, hi
 
         cnt1 = ((e >> 8) & 0xF).astype(i32)
-        cnt2 = ((e2 >> 8) & 0xF).astype(i32)
         lit1 = ((e >> 16) & 0xFFFF).astype(jnp.uint32)
-        lit2 = ((e2 >> 16) & 0xFFFF).astype(jnp.uint32)
-        lit_packed = jnp.where(
-            is_lit2, lit1 | (lit2 << (8 * cnt1).astype(jnp.uint32)), lit1
-        )
-        lit_count = jnp.where(is_lit2, cnt1 + cnt2, jnp.where(is_lit, cnt1, 0))
-        lit_bits = jnp.where(is_lit2, ecode_bits + e2code_bits,
-                             jnp.where(is_lit, ecode_bits, 0))
+        lit_lo, lit_hi = place(lit_lo, lit_hi, lit1, jnp.zeros((B,), i32), is_lit)
+        lit_count = jnp.where(is_lit, cnt1, 0)
+        lit_bits = jnp.where(is_lit, ecode_bits, 0)
+        chained = is_lit
+
+        if chain >= 2:
+            bits2 = ubits >> ecode_bits.astype(jnp.uint32)
+            e2 = litlen[table_id, (bits2 & 4095).astype(i32)].astype(jnp.uint32)
+            chained = chained & ((e2 & 0x8000) != 0)
+            cnt2 = ((e2 >> 8) & 0xF).astype(i32)
+            lit2 = ((e2 >> 16) & 0xFFFF).astype(jnp.uint32)
+            lit_lo, lit_hi = place(lit_lo, lit_hi, lit2, lit_count, chained)
+            lit_count = jnp.where(chained, lit_count + cnt2, lit_count)
+            lit_bits = jnp.where(chained, lit_bits + (e2 & 0xFF).astype(i32), lit_bits)
+
+        if chain >= 4:
+            # Refetch a fresh 32-bit window past the first two codes.
+            bits3 = fetch(bpos + lit_bits)
+            e3 = litlen[table_id, (bits3 & 4095).astype(i32)].astype(jnp.uint32)
+            chained = chained & ((e3 & 0x8000) != 0)
+            cnt3 = ((e3 >> 8) & 0xF).astype(i32)
+            lit3 = ((e3 >> 16) & 0xFFFF).astype(jnp.uint32)
+            lit_lo, lit_hi = place(lit_lo, lit_hi, lit3, lit_count, chained)
+            lit_count = jnp.where(chained, lit_count + cnt3, lit_count)
+            e3bits = (e3 & 0xFF).astype(i32)
+            lit_bits = jnp.where(chained, lit_bits + e3bits, lit_bits)
+
+            bits4 = bits3 >> e3bits.astype(jnp.uint32)
+            e4 = litlen[table_id, (bits4 & 4095).astype(i32)].astype(jnp.uint32)
+            chained = chained & ((e4 & 0x8000) != 0)
+            cnt4 = ((e4 >> 8) & 0xF).astype(i32)
+            lit4 = ((e4 >> 16) & 0xFFFF).astype(jnp.uint32)
+            lit_lo, lit_hi = place(lit_lo, lit_hi, lit4, lit_count, chained)
+            lit_count = jnp.where(chained, lit_count + cnt4, lit_count)
+            lit_bits = jnp.where(chained, lit_bits + (e4 & 0xFF).astype(i32), lit_bits)
 
         # Non-literal: secondary table, length entry, EOF, or invalid.
         exceptional = (e & 0x4000) != 0
@@ -241,7 +286,8 @@ def decode_symbols(
 
         commit = running & ~truncated & (err == _OK) & ~is_eof
 
-        out_lit = jnp.where(commit & is_lit, lit_packed, 0)
+        out_lit = jnp.where(commit & is_lit, lit_lo, 0)
+        out_lit_hi = jnp.where(commit & is_lit, lit_hi, 0)
         sec_lit_commit = commit & sec_is_lit
         out_lit = jnp.where(sec_lit_commit, sec_sym.astype(jnp.uint32), out_lit)
         out_cnt = jnp.where(
@@ -253,6 +299,7 @@ def decode_symbols(
         out_dst = jnp.where(commit & is_len, distance, 0)
 
         rl = rl.at[i].set(out_lit)
+        rlh = rlh.at[i].set(out_lit_hi)
         rc = rc.at[i].set(out_cnt)
         rn = rn.at[i].set(out_len)
         rd = rd.at[i].set(out_dst)
@@ -275,14 +322,16 @@ def decode_symbols(
             ),
             status,
         )
-        return (i + 1, new_bpos, new_opos, new_status, rl, rc, rn, rd, rp)
+        return (i + 1, new_bpos, new_opos, new_status, rl, rlh, rc, rn, rd, rp)
 
     init = (
         jnp.int32(0), bit_pos, out_pos, status0,
-        rec_lit, rec_cnt, rec_len, rec_dst, rec_pos,
+        rec_lit, rec_lit_hi, rec_cnt, rec_len, rec_dst, rec_pos,
     )
-    _, bpos, opos, status, rl, rc, rn, rd, rp = jax.lax.while_loop(cond, body, init)
-    return (rl, rc, rn, rd, rp), (bpos, opos, status)
+    _, bpos, opos, status, rl, rlh, rc, rn, rd, rp = jax.lax.while_loop(
+        cond, body, init
+    )
+    return (rl, rlh, rc, rn, rd, rp), (bpos, opos, status)
 
 
 # ---------------------------------------------------------------------------
@@ -294,7 +343,7 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
     """Expand decode records into output bytes.
 
     Args:
-      records: ``(lit_u32[K,B], cnt[K,B], len[K,B], dist[K,B])``.
+      records: ``(lit_lo[K,B], lit_hi[K,B], cnt[K,B], len[K,B], dist[K,B])``.
       window: uint8[B, 32768] — prior output (back-reference context),
         right-aligned (last byte = most recent).
       produced: i32[B] — bytes this launch will produce (from the symbol
@@ -306,7 +355,7 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
     import jax
     import jax.numpy as jnp
 
-    rl, rc, rn, rd = records[:4]
+    rl, rlh, rc, rn, rd = records[:5]
     K, B = rl.shape
     i32 = jnp.int32
 
@@ -319,15 +368,18 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
         ptr_rounds = max(1, (ext - 1).bit_length())
 
     # --- literal scatter -------------------------------------------------
-    # Each record contributes up to 4 literal bytes at start..start+cnt.
+    # Each record contributes up to 8 literal bytes at start..start+cnt
+    # (4-deep chained double-literal entries).
     litT = rl.T.astype(jnp.uint32)
+    litHT = rlh.T.astype(jnp.uint32)
     cntT = rc.T.astype(i32)
     row = jax.lax.broadcasted_iota(i32, (B, K), 0)
     vals = jnp.zeros((B, ext), jnp.int32)
     drop = B * ext
-    for j in range(4):
+    for j in range(8):
         has = j < cntT
-        byte = ((litT >> (8 * j)) & 0xFF).astype(jnp.int32)
+        src = litT if j < 4 else litHT
+        byte = ((src >> (8 * (j % 4))) & 0xFF).astype(jnp.int32)
         tgt = jnp.where(has, row * ext + WINDOW + start + j, drop)
         vals = (
             vals.reshape(-1)

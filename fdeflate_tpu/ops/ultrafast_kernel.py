@@ -68,10 +68,22 @@ def encode_ultrafast_batch(data, lengths):
     i32 = jnp.int32
     u32 = jnp.uint32
 
-    codes = jnp.asarray(HUFFMAN_CODES.astype(np.uint32))
-    lens = jnp.asarray(HUFFMAN_LENGTHS.astype(np.int32))
-    len_to_sym = jnp.asarray(LENGTH_TO_SYMBOL.astype(np.int32))
-    len_to_extra = jnp.asarray(LENGTH_TO_LEN_EXTRA.astype(np.int32))
+    # Fused lookup tables (one gather each instead of one per field):
+    # lit_tab[b]   = code | len << 16               (literal byte b)
+    # tail_tab[T]  = code | len << 16 | extra << 20 (run tail of length T;
+    #                extra is the count of extra bits for the length symbol)
+    lit_tab = jnp.asarray(
+        (HUFFMAN_CODES | (HUFFMAN_LENGTHS << 16)).astype(np.int32)
+    )
+    tail_np = np.zeros(259, np.int32)
+    for T in range(3, 259):
+        sym = int(LENGTH_TO_SYMBOL[T - 3])
+        tail_np[T] = (
+            int(HUFFMAN_CODES[sym])
+            | (int(HUFFMAN_LENGTHS[sym]) << 16)
+            | (int(LENGTH_TO_LEN_EXTRA[T - 3]) << 20)
+        )
+    tail_tab = jnp.asarray(tail_np)
 
     d = data.astype(i32)
     lengths = lengths.astype(i32)
@@ -122,11 +134,12 @@ def encode_ultrafast_batch(data, lengths):
     q0 = k * 258
 
     # ---- token assignment ------------------------------------------------
-    lit_v = codes[d]
-    lit_n = lens[d]
+    lit = lit_tab[d]  # code | len << 16
+    lit_v = lit & 0xFFFF
+    lit_n = lit >> 16
     in_stream = idx < lengths[:, None]
 
-    v = jnp.where(member, 0, lit_v.astype(i32))
+    v = jnp.where(member, 0, lit_v)
     nb = jnp.where(member, 0, lit_n)
 
     is_first = member & (p == 0)
@@ -138,14 +151,13 @@ def encode_ultrafast_batch(data, lengths):
     v = jnp.where(is_285, jnp.int32(int(HUFFMAN_CODES[285])), v)
     nb = jnp.where(is_285, jnp.int32(int(HUFFMAN_LENGTHS[285]) + 1), nb)
 
-    tail_idx = jnp.clip(tail - 3, 0, 255)
-    tail_sym = len_to_sym[tail_idx]
-    tail_extra = len_to_extra[tail_idx]
+    tl = tail_tab[jnp.clip(tail, 0, 258)]
+    tail_extra = tl >> 20
     big_tail = member & (tail > 4)
     at_sym = big_tail & (q == q0)
     at_extra = big_tail & (q == q0 + 1)
-    v = jnp.where(at_sym, codes[tail_sym].astype(i32), v)
-    nb = jnp.where(at_sym, lens[tail_sym], nb)
+    v = jnp.where(at_sym, tl & 0xFFFF, v)
+    nb = jnp.where(at_sym, (tl >> 16) & 0xF, nb)
     extra_val = (tail - 3) & ((1 << tail_extra) - 1)
     v = jnp.where(at_extra, extra_val, v)
     nb = jnp.where(at_extra, tail_extra + 1, nb)
@@ -163,33 +175,43 @@ def encode_ultrafast_batch(data, lengths):
     v = jnp.where(nb > 0, v, 0)
 
     # ---- bit packing -----------------------------------------------------
-    positions = STREAM_HEADER_BITS + jnp.cumsum(nb, axis=1) - nb  # exclusive
-    payload_end = STREAM_HEADER_BITS + jnp.cumsum(nb, axis=1)[:, -1]
+    cum = jnp.cumsum(nb, axis=1)
+    payload_end = STREAM_HEADER_BITS + cum[:, -1]
 
     # EOF token, then pad to a byte boundary.
     eof_pos = payload_end
     total_bits = ((eof_pos + _EOF_BITS + 7) // 8) * 8
+
+    # Pair-combine adjacent tokens before scattering: two <=13-bit tokens
+    # concatenate into one <=26-bit token, halving the scatter volume.
+    v0 = v[:, 0::2].astype(u32)
+    v1 = v[:, 1::2].astype(u32)
+    n0 = nb[:, 0::2]
+    n1 = nb[:, 1::2]
+    vp = (v0 | (v1 << n0.astype(u32))).astype(u32)
+    npair = n0 + n1
+    positions = STREAM_HEADER_BITS + cum[:, 1::2] - npair  # pair start bits
 
     # u32 words per stream: every byte emits at most one token of <= 13 bits
     # (literal <= 12; the 258-run token is 13), plus header/EOF/slack.
     W = (13 * N + STREAM_HEADER_BITS + _EOF_BITS + 31) // 32 + 2
     wi = positions >> 5
     sh = (positions & 31).astype(u32)
-    vu = v.astype(u32)
-    lo = (vu << sh).astype(u32)
-    hi = ((vu >> 1) >> (31 - sh).astype(u32)).astype(u32)
-    valid = nb > 0
+    lo = (vp << sh).astype(u32)
+    hi = ((vp >> 1) >> (31 - sh).astype(u32)).astype(u32)
+    valid = npair > 0
 
-    row = jax.lax.broadcasted_iota(i32, (B, N), 0)
+    Np = N // 2
+    row = jax.lax.broadcasted_iota(i32, (B, Np), 0)
     flat_lo = jnp.where(valid, row * W + wi, B * W)  # invalid -> dropped slot
     flat_hi = jnp.where(valid, row * W + wi + 1, B * W)
     words = jax.ops.segment_sum(
-        jnp.where(valid, lo, 0).reshape(-1),
+        jnp.where(valid, lo.astype(i32), 0).reshape(-1),
         flat_lo.reshape(-1),
         num_segments=B * W + 1,
     )
     words = words + jax.ops.segment_sum(
-        jnp.where(valid, hi, 0).reshape(-1),
+        jnp.where(valid, hi.astype(i32), 0).reshape(-1),
         flat_hi.reshape(-1),
         num_segments=B * W + 1,
     )

@@ -39,7 +39,9 @@ from ..ops import inflate as I
 def _jit_decode_stop(max_steps: int):
     import jax
 
-    return jax.jit(functools.partial(I.decode_symbols, max_steps=max_steps))
+    return jax.jit(
+        functools.partial(I.decode_symbols, max_steps=max_steps, chain=1)
+    )
 
 
 def _chunk_decode(words, starts, stops, bit_end, tables, max_steps):
@@ -126,7 +128,7 @@ def decompress_speculative(
         return _fallback(data)
     if (status == I._OK).any():
         return _fallback(data)
-    rl, rc, rn, rd, rp = (np.array(r) for r in records)  # writable copies
+    rl, rlh, rc, rn, rd, rp = (np.array(r) for r in records)  # writable copies
     bpos = np.array(bpos)
     status = np.array(status)
 
@@ -153,8 +155,9 @@ def decompress_speculative(
                 jnp.asarray(words_np[:1]), np.array([entry], np.int32),
                 np.array([stops[lane]], np.int32), bit_end, tables, max_steps,
             )
-            srl, src_, srn, srd, srp = (np.asarray(r) for r in sub_records)
+            srl, srlh, src_, srn, srd, srp = (np.asarray(r) for r in sub_records)
             rl[:, lane] = srl[:, 0]
+            rlh[:, lane] = srlh[:, 0]
             rc[:, lane] = src_[:, 0]
             rn[:, lane] = srn[:, 0]
             rd[:, lane] = srd[:, 0]
@@ -181,13 +184,14 @@ def decompress_speculative(
 
     # ---- assemble stitched records ---------------------------------------
     parts = [
-        (rl[f:e, ln], rc[f:e, ln], rn[f:e, ln], rd[f:e, ln])
+        (rl[f:e, ln], rlh[f:e, ln], rc[f:e, ln], rn[f:e, ln], rd[f:e, ln])
         for ln, f, e in sel_ranges
     ]
     lit = np.concatenate([p[0] for p in parts])
-    cnt = np.concatenate([p[1] for p in parts])
-    lng = np.concatenate([p[2] for p in parts])
-    dst = np.concatenate([p[3] for p in parts])
+    lith = np.concatenate([p[1] for p in parts])
+    cnt = np.concatenate([p[2] for p in parts])
+    lng = np.concatenate([p[3] for p in parts])
+    dst = np.concatenate([p[4] for p in parts])
 
     # Validate distances now that absolute positions are known.
     adv = cnt.astype(np.int64) + lng
@@ -204,6 +208,7 @@ def decompress_speculative(
     K = 1 << max(8, int(np.ceil(np.log2(max(len(lit), 1)))))
     pad = K - len(lit)
     lit = np.pad(lit, (0, pad))
+    lith = np.pad(lith, (0, pad))
     cnt = np.pad(cnt, (0, pad))
     lng = np.pad(lng, (0, pad))
     dst = np.pad(dst, (0, pad))
@@ -211,6 +216,7 @@ def decompress_speculative(
     out, _ = I._jit_materialize(cap)(
         (
             jnp.asarray(lit.reshape(K, 1)),
+            jnp.asarray(lith.reshape(K, 1)),
             jnp.asarray(cnt.reshape(K, 1)),
             jnp.asarray(lng.reshape(K, 1)),
             jnp.asarray(dst.reshape(K, 1)),
