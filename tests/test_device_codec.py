@@ -149,3 +149,37 @@ class TestSharded:
         ck = checksum_tree_reduce(mesh)(jnp.asarray(data))
         for i in range(4):
             assert int(np.asarray(ck)[i]) == zlib.adler32(data[i].tobytes())
+
+
+class TestBatchSpeculative:
+    def test_mixed_batch(self, rng):
+        from fdeflate_tpu.parallel.batch_speculative import (
+            decompress_batch_speculative,
+        )
+
+        datas = [
+            rng.choice([0] * 7 + [40, 90, 200], 100_000).astype(np.uint8).tobytes(),
+            bytes(120_000),
+            rng.integers(0, 256, 50_000, dtype=np.uint8).tobytes(),
+            b"tiny",
+            b"",
+        ]
+        streams = [F.compress_to_vec_ultra_fast(d) for d in datas]
+        streams.append(zlib.compress(datas[0], 6))  # multi-block fallback
+        datas.append(datas[0])
+        res = decompress_batch_speculative(streams, chunks_per_stream=8)
+        for r, e in zip(res, datas):
+            assert isinstance(r, bytes) and r == e
+
+    def test_checksum_and_errors(self, rng):
+        from fdeflate_tpu.parallel.batch_speculative import (
+            decompress_batch_speculative,
+        )
+
+        good = F.compress_to_vec_ultra_fast(bytes(50_000))
+        bad = bytearray(good)
+        bad[-1] ^= 0xFF
+        res = decompress_batch_speculative([good, bytes(bad), b"\x01\x02x"])
+        assert res[0] == bytes(50_000)
+        assert isinstance(res[1], E.WrongChecksum)
+        assert isinstance(res[2], E.BadZlibHeader)
