@@ -36,13 +36,33 @@ if os.environ.get("JAX_PLATFORMS"):
 
 
 def make_idat_corpus(batch: int, length: int, seed: int = 0) -> np.ndarray:
-    """Filtered-PNG-like bytes: mostly zeros, small signed residuals."""
+    """Filtered-PNG IDAT-like bytes.
+
+    Synthesizes grayscale image rows (smooth gradients + texture noise +
+    flat regions) and applies the PNG Sub filter per row — producing the
+    real workload shape: long zero runs from flat areas and small signed
+    residuals elsewhere.
+    """
     rng = np.random.default_rng(seed)
-    # ~70% zeros, small values with geometric-ish tail, occasional bytes.
-    pool = np.array(
-        [0] * 14 + [1, 2, 3, 253, 254, 255, 7, 9, 40, 90, 200], np.uint8
-    )
-    return rng.choice(pool, size=(batch, length))
+    width = 1024
+    rows = length // width + 1
+    out = np.zeros((batch, rows * width), np.uint8)
+    for b in range(batch):
+        y = np.arange(rows)[:, None]
+        x = np.arange(width)[None, :]
+        base = (
+            128
+            + 60 * np.sin(x / (50 + 10 * (b % 7)) + b)
+            + 40 * np.cos(y / 37.0)
+        )
+        noise = rng.normal(0, 2.0, (rows, width))
+        flat = (x // 128 + y // 16) % 3 == 0  # flat patches -> zero runs
+        img = np.where(flat, 200, base + noise).astype(np.uint8)
+        # PNG Sub filter: residual against the left neighbor.
+        sub = img - np.roll(img, 1, axis=1)
+        sub[:, 0] = img[:, 0]
+        out[b] = sub.reshape(-1)[: rows * width]
+    return out[:, :length]
 
 
 def bench_zlib_baseline(data: np.ndarray, repeats: int = 2) -> tuple[float, float]:
@@ -73,19 +93,7 @@ def bench_device(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
     import jax
     import jax.numpy as jnp
 
-    from fdeflate_tpu.huffman import build_table
-    from fdeflate_tpu.models.ultrafast import STREAM_HEADER_BITS
-    from fdeflate_tpu.ops import inflate as I
-    from fdeflate_tpu.ops.inflate import decode_symbols, materialize
     from fdeflate_tpu.ops.ultrafast_kernel import encode_ultrafast_batch
-    from fdeflate_tpu.tables import (
-        DEFAULT_DIST_TABLE_SIZE,
-        DEFAULT_LITLEN_TABLE_SIZE,
-        DISTANCE_TABLE_ENTRIES,
-        HUFFMAN_LENGTHS,
-        LITLEN_TABLE_ENTRIES,
-    )
-    import functools
 
     B, N = data.shape
     d = jax.device_put(jnp.asarray(data))
@@ -103,53 +111,23 @@ def bench_device(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
         enc_times.append(time.perf_counter() - t0)
     enc_gbps = data.size / min(enc_times) / 1e9
 
-    # Decode: shared trained-tree tables, symbol phase + materialize.
-    litlen = build_table(
-        HUFFMAN_LENGTHS, LITLEN_TABLE_ENTRIES, DEFAULT_LITLEN_TABLE_SIZE,
-        is_distance_table=False, double_literal=True,
+    # Decode: end-to-end batched speculative decode (streams x chunks lane
+    # fan-out, stitch, materialize, checksum) over the encoded streams.
+    from fdeflate_tpu.ops.ultrafast_kernel import finalize_streams
+    from fdeflate_tpu.parallel.batch_speculative import (
+        decompress_batch_speculative,
     )
-    dl = np.zeros(32, np.int64)
-    dl[0] = 1
-    dist = build_table(
-        dl, DISTANCE_TABLE_ENTRIES, DEFAULT_DIST_TABLE_SIZE,
-        is_distance_table=True, double_literal=False,
-    )
-    t_ll = jnp.asarray(litlen.primary[None].astype(np.uint32))
-    t_sec = jnp.asarray(np.zeros((1, 1), np.uint32))
-    t_d = jnp.asarray(dist.primary[None].astype(np.uint32))
-    t_ds = jnp.asarray(np.zeros((1, 1), np.uint32))
 
-    # Steps bound: double literals pack 2 bytes per step minimum for this
-    # corpus; runs collapse further.  Find the real requirement empirically.
-    max_steps = 1 << int(np.ceil(np.log2(N)))
-    dec = jax.jit(functools.partial(decode_symbols, max_steps=max_steps))
-    mat = jax.jit(functools.partial(materialize, out_capacity=N))
-
-    def run_decode(words, bits):
-        records, (bpos, opos, status) = dec(
-            words,
-            jnp.full((B,), STREAM_HEADER_BITS, jnp.int32),
-            bits,
-            jnp.zeros((B,), jnp.int32),
-            jnp.ones((B,), bool),
-            jnp.zeros((B,), jnp.int32),
-            t_ll, t_sec, t_d, t_ds,
-        )
-        out, _ = mat(records, jnp.zeros((B, I.WINDOW), jnp.uint8), opos)
-        return out, opos, status
-
-    out, opos, status = run_decode(words, bits)
-    status_np = np.asarray(status)
-    assert (status_np == I._EOB).all(), "bench streams must fully decode"
-    # verify roundtrip correctness once
-    out_np = np.asarray(out)
-    assert (out_np[:, :N] == data).all(), "decode mismatch"
+    streams = finalize_streams(words, bits, adler)
+    chunks = int(os.environ.get("FDN_BENCH_CHUNKS", "16"))
+    decoded = decompress_batch_speculative(streams, chunks_per_stream=chunks)
+    for i, r in enumerate(decoded):
+        assert isinstance(r, bytes) and r == data[i].tobytes(), f"decode {i}"
 
     dec_times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        o, op, st = run_decode(words, bits)
-        _ = int(np.asarray(op).sum())
+        decompress_batch_speculative(streams, chunks_per_stream=chunks)
         dec_times.append(time.perf_counter() - t0)
     dec_gbps = data.size / min(dec_times) / 1e9
 
