@@ -79,49 +79,62 @@ def inflate(data: bytes, ignore_adler32: bool = False,
     """
     lib = _load()
     assert lib is not None
+    import numpy as np
+
     cap = size_hint if size_hint is not None else max(4 * len(data), 1 << 16)
     if maxlen is not None:
         cap = min(cap, maxlen)
     needed = ctypes.c_size_t(0)
     while True:
-        out = (ctypes.c_uint8 * cap)()
+        out = np.empty(cap, np.uint8)
         rc = lib.fdn_inflate(
-            data, len(data), out, cap, int(ignore_adler32),
-            ctypes.byref(needed),
+            data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            int(ignore_adler32), ctypes.byref(needed),
         )
         if rc >= 0:
-            return bytes(bytearray(out)[:rc])
+            return out[:rc].tobytes()
         status = -rc
         if status == int(E.Status.OUTPUT_TOO_LARGE):
             want = max(needed.value, cap * 2)
             if maxlen is not None and cap >= maxlen:
-                raise E.OutputTooLarge(bytes(bytearray(out)[: needed.value]))
+                raise E.OutputTooLarge(out[: min(needed.value, cap)].tobytes())
             cap = want if maxlen is None else min(want, maxlen)
             continue
         raise E.error_for_status(status)
 
 
 def compress_ultra(data: bytes) -> bytes:
+    import numpy as np
+
     lib = _load()
     assert lib is not None
     cap = 64 + len(data) + len(data) // 2 + (len(data) * 3) // 5
     while True:
-        out = (ctypes.c_uint8 * cap)()
-        rc = lib.fdn_compress_ultra(data, len(data), out, cap)
+        out = np.empty(cap, np.uint8)
+        rc = lib.fdn_compress_ultra(
+            data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+        )
         if rc >= 0:
-            return bytes(bytearray(out)[:rc])
+            return out[:rc].tobytes()
         cap *= 2
 
 
 def deflate(data: bytes, level: int, zlib_mode: bool = True) -> bytes:
     """Whole-buffer compression at the given level (0-9)."""
+    import numpy as np
+
     lib = _load()
     assert lib is not None
     cap = 1024 + len(data) + len(data) // 2
     while True:
-        out = (ctypes.c_uint8 * cap)()
-        rc = lib.fdn_deflate(min(level, 7), data, len(data), out, cap,
-                             int(zlib_mode))
+        out = np.empty(cap, np.uint8)
+        rc = lib.fdn_deflate(
+            min(level, 7), data, len(data),
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), cap,
+            int(zlib_mode),
+        )
         if rc >= 0:
-            return bytes(bytearray(out)[:rc])
+            return out[:rc].tobytes()
         cap *= 2

@@ -419,9 +419,15 @@ static int inflate_block(BitReader& br, const DecodeTables& t, uint8_t* out,
       std::memcpy(out + pos, out + pos - d, length);
       pos += length;
     } else {
+      // Overlapping copy: replicate the period, doubling each step.
       uint8_t* dst = out + pos;
-      const uint8_t* src = out + pos - d;
-      for (uint32_t i = 0; i < length; i++) dst[i] = src[i];
+      std::memmove(dst, dst - d, d);
+      uint32_t filled = d;
+      while (filled < length) {
+        uint32_t chunk = filled < length - filled ? filled : length - filled;
+        std::memcpy(dst + filled, dst, chunk);
+        filled += chunk;
+      }
       pos += length;
     }
   }
