@@ -67,9 +67,19 @@ def _make_parser(level: int):
 
 
 class Compressor:
-    """Streaming compressor producing zlib or raw deflate output."""
+    """Streaming compressor producing zlib or raw deflate output.
 
-    def __init__(self, sink: bytearray | None = None, level: int = 1, zlib_mode: bool = True):
+    ``sink`` may be a bytearray or any object with a ``write`` method (the
+    reference's ``W: Write`` parameter); with a writer, compressed bytes
+    stream out on every ``write_data``/``flush`` call and ``finish`` returns
+    the writer.
+    """
+
+    def __init__(self, sink=None, level: int = 1, zlib_mode: bool = True):
+        self._writer_obj = None
+        if sink is not None and not isinstance(sink, bytearray):
+            self._writer_obj = sink
+            sink = bytearray()
         self.sink = sink if sink is not None else bytearray()
         if zlib_mode:
             self.sink += b"\x78\x01"
@@ -102,6 +112,7 @@ class Compressor:
         CHUNK = 1 << 30
         for off in range(0, max(len(data), 1), CHUNK):
             self._write_chunk(data[off : off + CHUNK])
+        self._drain()
 
     def _write_chunk(self, data: bytes) -> None:
         if self._checksum is not None:
@@ -134,15 +145,25 @@ class Compressor:
             bytes(self._data), self._base_index, self._written, FLUSH_SYNC
         )
         self._written += written
+        self._drain()
 
-    def finish(self) -> bytearray:
-        """Write the remainder of the stream and return the sink."""
+    def finish(self):
+        """Write the remainder of the stream and return the sink/writer."""
         self._compress(bytes(self._data), self._base_index, self._written, FLUSH_FINISH)
         self._data.clear()
         self._writer.flush()
         if self._checksum is not None:
             self.sink += self._checksum.to_bytes(4, "big")
+        if self._writer_obj is not None:
+            self._drain()
+            return self._writer_obj
         return self.sink
+
+    def _drain(self) -> None:
+        """Stream completed whole bytes out to a file-like sink."""
+        if self._writer_obj is not None and self.sink:
+            self._writer_obj.write(bytes(self.sink))
+            del self.sink[:]
 
     # ------------------------------------------------------------ internals
 

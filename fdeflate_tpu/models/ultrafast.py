@@ -163,9 +163,16 @@ def tokenize(data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 
 class UltraFastCompressor:
-    """Streaming ultra-fast compressor (single block, zero-RLE only)."""
+    """Streaming ultra-fast compressor (single block, zero-RLE only).
 
-    def __init__(self, sink: bytearray | None = None):
+    ``sink`` may be a bytearray or any object with a ``write`` method.
+    """
+
+    def __init__(self, sink=None):
+        self._writer_obj = None
+        if sink is not None and not isinstance(sink, bytearray):
+            self._writer_obj = sink
+            sink = bytearray()
         self.sink = sink if sink is not None else bytearray()
         self._checksum = 1
         self.sink += STREAM_HEADER[:53]
@@ -180,8 +187,11 @@ class UltraFastCompressor:
             values, nbits, self._carry_value, self._carry_bits
         )
         self.sink += out
+        if self._writer_obj is not None and self.sink:
+            self._writer_obj.write(bytes(self.sink))
+            del self.sink[:]
 
-    def finish(self) -> bytearray:
+    def finish(self):
         out, v, nb = pack_bits(
             np.array([int(_CODES[256])], np.uint64),
             np.array([int(_LENGTHS[256])], np.uint64),
@@ -192,6 +202,10 @@ class UltraFastCompressor:
         if nb:
             self.sink.append(v)  # pad to byte boundary
         self.sink += self._checksum.to_bytes(4, "big")
+        if self._writer_obj is not None:
+            self._writer_obj.write(bytes(self.sink))
+            del self.sink[:]
+            return self._writer_obj
         return self.sink
 
 

@@ -157,3 +157,32 @@ class TestCodeLengthDP:
             np.full(4, 15, np.int64),
         )
         assert sum(2.0 ** -l for l in lengths) == 1.0
+
+
+class TestWriterSinks:
+    """The reference's Compressor<W: Write> accepts arbitrary writers;
+    file-like sinks stream compressed bytes incrementally."""
+
+    def test_compressor_file_like_sink(self):
+        import io
+
+        buf = io.BytesIO()
+        c = F.Compressor(buf, level=2)
+        c.write_data(b"stream me " * 1000)
+        c.flush()
+        c.write_data(b"more data " * 500)
+        writer = c.finish()
+        assert writer is buf
+        assert zlib.decompress(buf.getvalue()) == (
+            b"stream me " * 1000 + b"more data " * 500
+        )
+
+    def test_ultrafast_file_like_sink(self):
+        import io
+
+        buf = io.BytesIO()
+        c = F.UltraFastCompressor(buf)
+        c.write_data(bytes(5000))
+        c.write_data(b"tail")
+        assert c.finish() is buf
+        assert zlib.decompress(buf.getvalue()) == bytes(5000) + b"tail"
