@@ -94,10 +94,17 @@ def decompress_batch_speculative(
         return [r if r is not None else E.InsufficientInput() for r in results]
 
     # ---- device pass 1: speculative chunk decode -------------------------
-    L = len(lanes)
+    # Pad the lane count to a power-of-two bucket so jit caches stay small
+    # across varying batch compositions; padded lanes are inert (bit range
+    # of size zero).
+    L_real = len(lanes)
+    L = 1 << max(3, int(np.ceil(np.log2(max(L_real, 1)))))
+    while len(lanes) < L:
+        lanes.append((metas[0]["si"], 0, 0))
     Wmax = max((len(streams[m["si"]]) + 3) // 4 for m in metas) + 2
+    Wmax = 1 << int(np.ceil(np.log2(Wmax)))
     words_np = np.zeros((L, Wmax), np.uint32)
-    for li, (si, _, _) in enumerate(lanes):
+    for li, (si, _, _) in enumerate(lanes[:L_real]):
         data = streams[si]
         padded = data + bytes((-len(data)) % 4) + bytes(8)
         words_np[li, : len(padded) // 4] = np.frombuffer(padded, "<u4")
@@ -129,7 +136,10 @@ def decompress_batch_speculative(
 
     starts_np = np.array([s for _, s, _ in lanes], np.int32)
     stops_np = np.array([e for _, _, e in lanes], np.int32)
-    ends_np = np.array([m["bit_end"] for m in metas for _ in range(m["nlanes"])], np.int32)
+    ends_np = np.zeros(L, np.int32)
+    ends_np[:L_real] = [
+        m["bit_end"] for m in metas for _ in range(m["nlanes"])
+    ]
     max_chunk_bits = max(m["chunk_bits"] for m in metas)
     max_steps = max(512, 1 << int(np.ceil(np.log2(max_chunk_bits // 4 + 64))))
 
