@@ -79,6 +79,8 @@ def decode_symbols(
     max_steps: int,
     bit_stop=None,  # i32[B] — optional stop positions (speculative chunks)
     chain: int = 4,
+    stream_row=None,  # i32[B] — row of `words` per lane (chunk lanes share
+                      # their stream's words instead of duplicating them)
 ):
     """Run up to ``max_steps`` decode steps on every active lane.
 
@@ -100,11 +102,12 @@ def decode_symbols(
     B = bit_pos.shape[0]
     i32 = jnp.int32
 
+    rows = jnp.arange(B) if stream_row is None else stream_row
+
     def fetch(pos):
         """32 stream bits starting at bit ``pos`` (per lane)."""
         widx = pos >> 5
         sh = (pos & 31).astype(jnp.uint32)
-        rows = jnp.arange(B)
         w0 = words[rows, widx].astype(jnp.uint32)
         w1 = words[rows, jnp.minimum(widx + 1, words.shape[1] - 1)].astype(jnp.uint32)
         lo = w0 >> sh

@@ -96,18 +96,24 @@ def decompress_batch_speculative(
     # ---- device pass 1: speculative chunk decode -------------------------
     # Pad the lane count to a power-of-two bucket so jit caches stay small
     # across varying batch compositions; padded lanes are inert (bit range
-    # of size zero).
+    # of size zero).  Chunk lanes of the same stream share one row of the
+    # words array via the stream_row indirection.
     L_real = len(lanes)
     L = 1 << max(3, int(np.ceil(np.log2(max(L_real, 1)))))
     while len(lanes) < L:
         lanes.append((metas[0]["si"], 0, 0))
     Wmax = max((len(streams[m["si"]]) + 3) // 4 for m in metas) + 2
     Wmax = 1 << int(np.ceil(np.log2(Wmax)))
-    words_np = np.zeros((L, Wmax), np.uint32)
-    for li, (si, _, _) in enumerate(lanes[:L_real]):
-        data = streams[si]
+    words_np = np.zeros((len(metas), Wmax), np.uint32)
+    stream_to_row = {}
+    for row, m in enumerate(metas):
+        data = streams[m["si"]]
         padded = data + bytes((-len(data)) % 4) + bytes(8)
-        words_np[li, : len(padded) // 4] = np.frombuffer(padded, "<u4")
+        words_np[row, : len(padded) // 4] = np.frombuffer(padded, "<u4")
+        stream_to_row[m["si"]] = row
+    lane_srow = np.array(
+        [stream_to_row[si] for si, _, _ in lanes], np.int32
+    )
 
     # Deduplicate table sets across the batch.
     table_rows: dict[bytes, int] = {}
@@ -151,9 +157,9 @@ def decompress_batch_speculative(
 
     words = jnp.asarray(words_np)
 
-    def run(starts, stops, ends, tid, words_arr):
+    def run(starts, stops, ends, tid, srow):
         return decode(
-            words_arr,
+            words,
             jnp.asarray(starts),
             jnp.asarray(ends),
             jnp.asarray(np.full(len(starts), 1 << 30, np.int32)),
@@ -161,11 +167,12 @@ def decompress_batch_speculative(
             jnp.asarray(tid),
             *t_args,
             bit_stop=jnp.asarray(stops),
+            stream_row=jnp.asarray(srow),
         )
 
     for _attempt in range(3):
         records, (bpos, opos, status) = run(
-            starts_np, stops_np, ends_np, lane_tid, words
+            starts_np, stops_np, ends_np, lane_tid, lane_srow
         )
         status = np.array(status)
         if not (status == I._OK).any() or max_steps > max_chunk_bits:
@@ -223,12 +230,19 @@ def decompress_batch_speculative(
                 results[m["si"]] = E.InsufficientInput()
         if not pending:
             break
-        # Re-decode all unsynced chunks in one pass from exact entries.
-        idxs = np.array([li for li, _ in pending], np.int64)
-        entries = np.array([e for _, e in pending], np.int32)
+        # Re-decode all unsynced chunks in one pass from exact entries
+        # (padded to a power-of-two bucket; pad lanes are inert).
+        P = 1 << max(2, int(np.ceil(np.log2(len(pending)))))
+        idxs = np.zeros(P, np.int64)
+        entries = np.zeros(P, np.int32)
+        idxs[: len(pending)] = [li for li, _ in pending]
+        entries[: len(pending)] = [e for _, e in pending]
+        sub_stops = stops_np[idxs].copy()
+        sub_ends = ends_np[idxs].copy()
+        sub_stops[len(pending):] = 0
+        sub_ends[len(pending):] = 0
         sub_records, (sb, so, ss) = run(
-            entries, stops_np[idxs], ends_np[idxs], lane_tid[idxs],
-            words[jnp.asarray(idxs)],
+            entries, sub_stops, sub_ends, lane_tid[idxs], lane_srow[idxs]
         )
         sub = [np.array(r) for r in sub_records]
         for j, (li, _) in enumerate(pending):
