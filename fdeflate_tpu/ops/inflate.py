@@ -177,7 +177,9 @@ def decode_symbols(
         if chain >= 2:
             bits2 = ubits >> ecode_bits.astype(jnp.uint32)
             e2 = litlen[table_id, (bits2 & 4095).astype(i32)].astype(jnp.uint32)
-            chained = chained & ((e2 & 0x8000) != 0)
+            # A chained symbol must START before this lane's stop position,
+            # or it belongs to the next chunk lane.
+            chained = chained & ((e2 & 0x8000) != 0) & (bpos + lit_bits < bit_stop)
             cnt2 = ((e2 >> 8) & 0xF).astype(i32)
             lit2 = ((e2 >> 16) & 0xFFFF).astype(jnp.uint32)
             lit_lo, lit_hi = place(lit_lo, lit_hi, lit2, lit_count, chained)
@@ -188,7 +190,7 @@ def decode_symbols(
             # Refetch a fresh 32-bit window past the first two codes.
             bits3 = fetch(bpos + lit_bits)
             e3 = litlen[table_id, (bits3 & 4095).astype(i32)].astype(jnp.uint32)
-            chained = chained & ((e3 & 0x8000) != 0)
+            chained = chained & ((e3 & 0x8000) != 0) & (bpos + lit_bits < bit_stop)
             cnt3 = ((e3 >> 8) & 0xF).astype(i32)
             lit3 = ((e3 >> 16) & 0xFFFF).astype(jnp.uint32)
             lit_lo, lit_hi = place(lit_lo, lit_hi, lit3, lit_count, chained)
@@ -198,7 +200,7 @@ def decode_symbols(
 
             bits4 = bits3 >> e3bits.astype(jnp.uint32)
             e4 = litlen[table_id, (bits4 & 4095).astype(i32)].astype(jnp.uint32)
-            chained = chained & ((e4 & 0x8000) != 0)
+            chained = chained & ((e4 & 0x8000) != 0) & (bpos + lit_bits < bit_stop)
             cnt4 = ((e4 >> 8) & 0xF).astype(i32)
             lit4 = ((e4 >> 16) & 0xFFFF).astype(jnp.uint32)
             lit_lo, lit_hi = place(lit_lo, lit_hi, lit4, lit_count, chained)

@@ -44,12 +44,41 @@ def _header_words(nwords: int) -> np.ndarray:
     return words
 
 
-def encode_ultrafast_batch(data, lengths):
+def _lut(table, idx, use_matmul: bool):
+    """Small-table lookup: gather, or one-hot matmul on the MXU.
+
+    XLA's TPU lowering of dynamic gathers from small tables is slow
+    (~100M lookups/s); a [M, K] one-hot against the K-entry table rides the
+    MXU instead.  Table values must stay below 2^24 so float32 products are
+    exact.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if not use_matmul:
+        return table[idx]
+    K = table.shape[0]
+    oh = jax.nn.one_hot(idx.reshape(-1), K, dtype=jnp.float32)
+    out = oh @ table.astype(jnp.float32)
+    return out.astype(jnp.int32).reshape(idx.shape)
+
+
+def encode_ultrafast_batch(
+    data, lengths, lut_matmul: bool | None = None, num_chunks: int = 0
+):
     """Encode ``B`` streams of padded length ``N``.
 
     Args:
       data: uint8[B, N] — stream bytes, zero-padded past ``lengths``.
       lengths: int32[B] — logical lengths.
+      lut_matmul: force the lookup strategy (None = matmul on TPU).
+      num_chunks: if > 0, additionally return a chunk index int32[B, C] of
+        exact symbol-boundary bit positions at ~N/C byte spacing.  The index
+        costs nothing extra (token positions are already computed) and lets
+        the chunked decoder start lanes at exact entries instead of relying
+        on Huffman self-synchronization — which fails on run-structured
+        streams, where misalignment in a sea of identical run tokens is
+        self-consistent and never re-syncs.
 
     Returns:
       words:  uint32[B, W] — the complete zlib streams except the trailing
@@ -67,6 +96,10 @@ def encode_ultrafast_batch(data, lengths):
     assert N % 8 == 0, "pad the byte buffer to a multiple of 8"
     i32 = jnp.int32
     u32 = jnp.uint32
+    if lut_matmul is None:
+        lut_matmul = jax.default_backend() == "tpu" or (
+            jax.devices()[0].platform not in ("cpu",)
+        )
 
     # Fused lookup tables (one gather each instead of one per field):
     # lit_tab[b]   = code | len << 16               (literal byte b)
@@ -134,7 +167,7 @@ def encode_ultrafast_batch(data, lengths):
     q0 = k * 258
 
     # ---- token assignment ------------------------------------------------
-    lit = lit_tab[d]  # code | len << 16
+    lit = _lut(lit_tab, d, lut_matmul)  # code | len << 16
     lit_v = lit & 0xFFFF
     lit_n = lit >> 16
     in_stream = idx < lengths[:, None]
@@ -151,7 +184,7 @@ def encode_ultrafast_batch(data, lengths):
     v = jnp.where(is_285, jnp.int32(int(HUFFMAN_CODES[285])), v)
     nb = jnp.where(is_285, jnp.int32(int(HUFFMAN_LENGTHS[285]) + 1), nb)
 
-    tl = tail_tab[jnp.clip(tail, 0, 258)]
+    tl = _lut(tail_tab, jnp.clip(tail, 0, 258), lut_matmul)
     tail_extra = tl >> 20
     big_tail = member & (tail > 4)
     at_sym = big_tail & (q == q0)
@@ -230,6 +263,23 @@ def encode_ultrafast_batch(data, lengths):
     words = words.at[rows, eof_wi + 1].add(eof_hi)
 
     adler = adler32_batch(data, lengths)
+
+    if num_chunks:
+        # Exact chunk index: the bit position of the first symbol-start
+        # token at or after byte k*N/C.  A token begins a symbol unless it
+        # is the extra-bits half of a run-tail (at_extra); empty tokens
+        # inherit the next symbol start via a suffix-min.  The final EOF
+        # position is the fallback for chunks past the last symbol.
+        tok_pos = STREAM_HEADER_BITS + cum - nb  # [B, N] token start bits
+        sym_start = (nb > 0) & ~at_extra
+        masked = jnp.where(sym_start, tok_pos, eof_pos[:, None])
+        suffix_min = jax.lax.cummin(masked[:, ::-1], axis=1)[:, ::-1]
+        step = N // num_chunks
+        sample = jnp.arange(num_chunks, dtype=i32) * step
+        chunk_starts = suffix_min[:, sample]
+        chunk_starts = chunk_starts.at[:, 0].set(STREAM_HEADER_BITS)
+        return words, total_bits.astype(i32), adler, chunk_starts
+
     return words, total_bits.astype(i32), adler
 
 

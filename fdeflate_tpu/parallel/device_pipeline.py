@@ -1,0 +1,251 @@
+"""Fully fused device codec pipeline: encode -> chunked decode -> stitch ->
+materialize -> verify, in ONE XLA program with only scalars read back.
+
+This is the production shape for device-resident data (and the benchmark
+path): the host never touches records, words, or outputs — speculative chunk
+stitching itself is vectorized on device:
+
+* chunk lane k's true entry is lane k-1's exit (a property of speculative
+  decode: the exit is the same wherever the lane was entered, once synced);
+* a lane is synced iff its entry appears among its recorded step positions;
+* records before the sync point and lanes after the end-of-block lane mask
+  to no-ops, then records rearrange lane-major and materialize with the
+  pointer-doubling expansion;
+* distances validate against post-stitch absolute positions, and the
+  decoded bytes checksum on-device against the encoder's Adler-32.
+
+Streams that fail to sync (rare) or exhaust the step budget report
+``ok=False`` and are re-decoded by the host path
+(parallel/batch_speculative).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from ..huffman import build_table
+from ..models.ultrafast import STREAM_HEADER_BITS
+from ..ops import inflate as I
+from ..tables import (
+    DEFAULT_DIST_TABLE_SIZE,
+    DEFAULT_LITLEN_TABLE_SIZE,
+    DISTANCE_TABLE_ENTRIES,
+    HUFFMAN_LENGTHS,
+    LITLEN_TABLE_ENTRIES,
+)
+
+
+@functools.lru_cache(maxsize=1)
+def _trained_tables():
+    litlen = build_table(
+        HUFFMAN_LENGTHS, LITLEN_TABLE_ENTRIES, DEFAULT_LITLEN_TABLE_SIZE,
+        is_distance_table=False, double_literal=True,
+    )
+    dl = np.zeros(32, np.int64)
+    dl[0] = 1
+    dist = build_table(
+        dl, DISTANCE_TABLE_ENTRIES, DEFAULT_DIST_TABLE_SIZE,
+        is_distance_table=True, double_literal=False,
+    )
+    return (
+        litlen.primary[None].astype(np.uint32),
+        np.zeros((1, 1), np.uint32),
+        dist.primary[None].astype(np.uint32),
+        np.zeros((1, 1), np.uint32),
+    )
+
+
+def stitch_and_materialize(
+    records, bpos, status, starts, payload_start, C: int, out_capacity: int
+):
+    """Device-side stitch of speculative chunk records + materialization.
+
+    Args:
+      records: 6-tuple from decode_symbols, each [K, B*C] (stream-major
+        lanes, chain=1).
+      bpos/status: [B*C] lane exit positions / statuses.
+      starts: [B*C] lane start bit positions.
+      payload_start: [B] first payload bit of each stream.
+      out_capacity: static output bound per stream.
+
+    Returns (out u8[B, cap], produced i32[B], ok bool[B]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rl, rlh, rc, rn, rd, rp = records
+    K, L = rl.shape
+    B = L // C
+    i32 = jnp.int32
+
+    # True entry per lane: previous lane's exit; payload start for lane 0.
+    k = jnp.tile(jnp.arange(C, dtype=i32), B)
+    prev_exit = jnp.concatenate([bpos[:1] * 0, bpos[:-1]])
+    entries = jnp.where(k == 0, jnp.repeat(payload_start, C), prev_exit)
+
+    # Sync point: first step whose position equals the entry.
+    hit = rp == entries[None, :]
+    synced = jnp.any(hit, axis=0)
+    step_iota = jax.lax.broadcasted_iota(i32, (K, L), 0)
+    first = jnp.min(jnp.where(hit, step_iota, K), axis=0)  # K when unsynced
+
+    # End-of-block lane per stream; lanes after it are dropped.
+    st2 = status.reshape(B, C)
+    is_eob = st2 == I._EOB
+    eob_k = jnp.min(
+        jnp.where(is_eob, jnp.arange(C, dtype=i32)[None, :], C), axis=1
+    )  # C when no EOB
+    has_eob = eob_k < C
+
+    lane_used = k <= jnp.repeat(eob_k, C)
+    keep = lane_used[None, :] & (step_iota >= first[None, :])
+
+    # Stream validity: every used lane synced, no error statuses, EOB found.
+    lane_err = (status != I._EOB) & (status != I._STOPPED)
+    ok = (
+        has_eob
+        & jnp.all((synced | ~lane_used).reshape(B, C), axis=1)
+        & jnp.all((~lane_err | ~lane_used).reshape(B, C), axis=1)
+    )
+
+    # Mask pre-sync records / dropped lanes to no-ops.
+    rc_m = jnp.where(keep, rc, 0)
+    rn_m = jnp.where(keep, rn, 0)
+    rd_m = jnp.where(keep, rd, 0)
+    rl_m = jnp.where(keep, rl, 0)
+    rlh_m = jnp.where(keep, rlh, 0)
+
+    # Rearrange [K, B*C] -> [C*K, B]: concatenate lanes of each stream.
+    def rearrange(a):
+        return (
+            a.reshape(K, B, C).transpose(2, 0, 1).reshape(C * K, B)
+        )
+
+    rl2 = rearrange(rl_m)
+    rlh2 = rearrange(rlh_m)
+    rc2 = rearrange(rc_m)
+    rn2 = rearrange(rn_m)
+    rd2 = rearrange(rd_m)
+
+    # Distance validation at absolute output positions.
+    adv = rc2.astype(i32) + rn2  # [C*K, B]
+    pos = jnp.cumsum(adv, axis=0) - adv
+    bad_dist = jnp.any((rd2 > 0) & (rd2 > pos), axis=0)
+    ok = ok & ~bad_dist
+    produced = jnp.sum(adv, axis=0)
+
+    out, _ = I.materialize(
+        (rl2, rlh2, rc2, rn2, rd2),
+        jnp.zeros((B, I.WINDOW), jnp.uint8),
+        produced,
+        out_capacity=out_capacity,
+    )
+    return out, produced, ok
+
+
+def indexed_materialize(records, status, starts_mat, C: int, out_capacity: int):
+    """Assemble output from exactly-indexed chunk lanes (no stitching).
+
+    Every lane started at an exact symbol boundary from the encoder's chunk
+    index, so all records are valid; lanes with an empty bit range are
+    inert.  Returns (out, produced, ok).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rl, rlh, rc, rn, rd, rp = records
+    K, L = rl.shape
+    B = L // C
+    i32 = jnp.int32
+
+    # Validity: no error statuses; the last non-empty lane reached EOB.
+    st2 = status.reshape(B, C)
+    lane_err = (st2 != I._EOB) & (st2 != I._STOPPED)
+    # Lanes that were active (start < stop) must not error; EOB must appear.
+    ok = ~jnp.any(lane_err, axis=1) & jnp.any(st2 == I._EOB, axis=1)
+
+    def rearrange(a):
+        return a.reshape(K, B, C).transpose(2, 0, 1).reshape(C * K, B)
+
+    rl2 = rearrange(rl)
+    rlh2 = rearrange(rlh)
+    rc2 = rearrange(rc)
+    rn2 = rearrange(rn)
+    rd2 = rearrange(rd)
+
+    adv = rc2.astype(i32) + rn2
+    pos = jnp.cumsum(adv, axis=0) - adv
+    bad_dist = jnp.any((rd2 > 0) & (rd2 > pos), axis=0)
+    ok = ok & ~bad_dist
+    produced = jnp.sum(adv, axis=0)
+
+    out, _ = I.materialize(
+        (rl2, rlh2, rc2, rn2, rd2),
+        jnp.zeros((B, I.WINDOW), jnp.uint8),
+        produced,
+        out_capacity=out_capacity,
+    )
+    return out, produced, ok
+
+
+def fused_ultrafast_roundtrip(C: int, max_steps: int, N: int, chain: int = 4):
+    """Build the jittable fused encode->decode->verify step.
+
+    The encoder emits an exact chunk index (symbol-boundary bit positions),
+    so decode lanes start at true entries — chunk parallelism without the
+    self-synchronization assumption, which run-structured streams violate.
+
+    Returns fn(data u8[B, N], lengths i32[B]) ->
+      (decoded u8[B, N], produced i32[B], ok bool[B], checksum_ok bool[B]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.adler32 import adler32_jax
+    from ..ops.inflate import decode_symbols
+    from ..ops.ultrafast_kernel import encode_ultrafast_batch
+
+    tables = _trained_tables()
+
+    def step(data, lengths):
+        i32 = jnp.int32
+        B = data.shape[0]
+        L = B * C
+        words, total_bits, adler, chunk_starts = encode_ultrafast_batch(
+            data, lengths, num_chunks=C
+        )
+
+        starts = chunk_starts.reshape(-1)  # [B*C], stream-major
+        next_start = jnp.concatenate(
+            [chunk_starts[:, 1:], jnp.full((B, 1), 1 << 30, i32)], axis=1
+        ).reshape(-1)
+        bits_l = jnp.repeat(total_bits, C)
+        stops = jnp.minimum(next_start, bits_l)
+        srow = jnp.repeat(jnp.arange(B, dtype=i32), C)
+        active = starts < stops
+
+        t = [jnp.asarray(x) for x in tables]
+        records, (bpos, opos, status) = decode_symbols(
+            words,
+            starts,
+            bits_l,
+            jnp.full((L,), 1 << 30, i32),  # absolute positions checked later
+            active,
+            jnp.zeros((L,), i32),
+            t[0], t[1], t[2], t[3],
+            max_steps=max_steps,
+            bit_stop=stops,
+            chain=chain,
+            stream_row=srow,
+        )
+        out, produced, ok = indexed_materialize(
+            records, jnp.where(active, status, I._STOPPED), starts, C,
+            out_capacity=N,
+        )
+        ck = jax.vmap(adler32_jax)(out, produced)
+        ck_ok = ck == adler
+        return out, produced, ok, ck_ok
+
+    return step

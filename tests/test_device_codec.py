@@ -183,3 +183,48 @@ class TestBatchSpeculative:
         assert res[0] == bytes(50_000)
         assert isinstance(res[1], E.WrongChecksum)
         assert isinstance(res[2], E.BadZlibHeader)
+
+
+class TestIndexedFusedPipeline:
+    def test_roundtrip_and_verify(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.parallel.device_pipeline import (
+            fused_ultrafast_roundtrip,
+        )
+
+        B, N, C = 4, 32768, 8
+        data = np.zeros((B, N), np.uint8)
+        data[0] = rng.integers(0, 256, N, dtype=np.uint8)
+        data[1, ::5] = 9
+        data[3, :50] = 3
+        step = jax.jit(fused_ultrafast_roundtrip(C, max_steps=8192, N=N))
+        out, produced, ok, ck_ok = step(
+            jnp.asarray(data), jnp.asarray(np.full(B, N, np.int32))
+        )
+        assert np.asarray(ok).all()
+        assert np.asarray(ck_ok).all()
+        assert (np.asarray(produced) == N).all()
+        assert (np.asarray(out)[:, :N] == data).all()
+
+    def test_chunk_index_positions_are_symbol_starts(self, rng):
+        import jax
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.ops.ultrafast_kernel import encode_ultrafast_batch
+
+        B, N, C = 2, 8192, 4
+        data = rng.choice([0, 0, 0, 5, 250], size=(B, N)).astype(np.uint8)
+        enc = jax.jit(
+            lambda d, l: encode_ultrafast_batch(d, l, num_chunks=C)
+        )
+        words, bits, adler, idx = enc(
+            jnp.asarray(data), jnp.asarray(np.full(B, N, np.int32))
+        )
+        idx = np.asarray(idx)
+        bits = np.asarray(bits)
+        for b in range(B):
+            assert idx[b, 0] == 53 * 8 + 5
+            assert (np.diff(idx[b]) >= 0).all()
+            assert (idx[b] <= bits[b]).all()
