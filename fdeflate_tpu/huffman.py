@@ -122,12 +122,19 @@ def _leading_zeros16(v: int) -> int:
 
 @dataclass
 class DecodeTables:
-    """Output of build_table."""
+    """Output of build_table.
+
+    ``first_len[i]`` is the code length of the *first* symbol decoded at
+    table index ``i`` (used by chunked decoders to split an atomic
+    double-literal entry whose second symbol starts exactly at a chunk
+    boundary); 0 where no literal decodes at ``i``.
+    """
 
     ok: bool
     codes: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int64))
     primary: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint32))
     secondary: np.ndarray = field(default_factory=lambda: np.zeros(0, np.uint16))
+    first_len: np.ndarray = field(default_factory=lambda: np.zeros(0, np.int8))
 
 
 def build_table(
@@ -289,7 +296,7 @@ def build_table(
                 )
         secondary = np.array(sec, dtype=np.uint16)
 
-    return DecodeTables(True, codes, primary, secondary)
+    return DecodeTables(True, codes, primary, secondary, fs_len.astype(np.int8))
 
 
 def _build_fixed_tables() -> tuple[np.ndarray, np.ndarray]:

@@ -81,6 +81,10 @@ def decode_symbols(
     chain: int = 4,
     stream_row=None,  # i32[B] — row of `words` per lane (chunk lanes share
                       # their stream's words instead of duplicating them)
+    litlen_first=None,  # i32[T, 4096] — first-symbol code lengths; when
+                        # given, a double-literal entry whose second symbol
+                        # starts exactly at ``bit_stop`` is split so chunk
+                        # lanes never consume the next lane's symbols
 ):
     """Run up to ``max_steps`` decode steps on every active lane.
 
@@ -169,43 +173,56 @@ def decode_symbols(
 
         cnt1 = ((e >> 8) & 0xF).astype(i32)
         lit1 = ((e >> 16) & 0xFFFF).astype(jnp.uint32)
+        if litlen_first is not None:
+            cross = is_lit & (bpos + ecode_bits > bit_stop)
+            fl = litlen_first[table_id, (ubits & 4095).astype(i32)]
+            ecode_bits = jnp.where(cross, fl, ecode_bits)
+            cnt1 = jnp.where(cross, 1, cnt1)
+            lit1 = jnp.where(cross, lit1 & 0xFF, lit1)
         lit_lo, lit_hi = place(lit_lo, lit_hi, lit1, jnp.zeros((B,), i32), is_lit)
         lit_count = jnp.where(is_lit, cnt1, 0)
         lit_bits = jnp.where(is_lit, ecode_bits, 0)
         chained = is_lit
+        if litlen_first is not None:
+            chained = chained & ~cross
+
+        def chain_level(idx_bits, chained, lit_lo, lit_hi, lit_count, lit_bits):
+            """One chained literal lookup with chunk-stop handling."""
+            e_n = litlen[table_id, (idx_bits & 4095).astype(i32)].astype(jnp.uint32)
+            ok_n = chained & ((e_n & 0x8000) != 0) & (bpos + lit_bits < bit_stop)
+            bits_n = (e_n & 0xFF).astype(i32)
+            cnt_n = ((e_n >> 8) & 0xF).astype(i32)
+            lit_n = ((e_n >> 16) & 0xFFFF).astype(jnp.uint32)
+            if litlen_first is not None:
+                cross_n = ok_n & (bpos + lit_bits + bits_n > bit_stop)
+                fl_n = litlen_first[table_id, (idx_bits & 4095).astype(i32)]
+                bits_n = jnp.where(cross_n, fl_n, bits_n)
+                cnt_n = jnp.where(cross_n, 1, cnt_n)
+                lit_n = jnp.where(cross_n, lit_n & 0xFF, lit_n)
+            else:
+                cross_n = jnp.zeros_like(ok_n)
+            lit_lo, lit_hi = place(lit_lo, lit_hi, lit_n, lit_count, ok_n)
+            lit_count = jnp.where(ok_n, lit_count + cnt_n, lit_count)
+            lit_bits = jnp.where(ok_n, lit_bits + bits_n, lit_bits)
+            return ok_n & ~cross_n, lit_lo, lit_hi, lit_count, lit_bits
 
         if chain >= 2:
             bits2 = ubits >> ecode_bits.astype(jnp.uint32)
-            e2 = litlen[table_id, (bits2 & 4095).astype(i32)].astype(jnp.uint32)
-            # A chained symbol must START before this lane's stop position,
-            # or it belongs to the next chunk lane.
-            chained = chained & ((e2 & 0x8000) != 0) & (bpos + lit_bits < bit_stop)
-            cnt2 = ((e2 >> 8) & 0xF).astype(i32)
-            lit2 = ((e2 >> 16) & 0xFFFF).astype(jnp.uint32)
-            lit_lo, lit_hi = place(lit_lo, lit_hi, lit2, lit_count, chained)
-            lit_count = jnp.where(chained, lit_count + cnt2, lit_count)
-            lit_bits = jnp.where(chained, lit_bits + (e2 & 0xFF).astype(i32), lit_bits)
+            chained, lit_lo, lit_hi, lit_count, lit_bits = chain_level(
+                bits2, chained, lit_lo, lit_hi, lit_count, lit_bits
+            )
 
         if chain >= 4:
             # Refetch a fresh 32-bit window past the first two codes.
+            bits_before3 = lit_bits
             bits3 = fetch(bpos + lit_bits)
-            e3 = litlen[table_id, (bits3 & 4095).astype(i32)].astype(jnp.uint32)
-            chained = chained & ((e3 & 0x8000) != 0) & (bpos + lit_bits < bit_stop)
-            cnt3 = ((e3 >> 8) & 0xF).astype(i32)
-            lit3 = ((e3 >> 16) & 0xFFFF).astype(jnp.uint32)
-            lit_lo, lit_hi = place(lit_lo, lit_hi, lit3, lit_count, chained)
-            lit_count = jnp.where(chained, lit_count + cnt3, lit_count)
-            e3bits = (e3 & 0xFF).astype(i32)
-            lit_bits = jnp.where(chained, lit_bits + e3bits, lit_bits)
-
-            bits4 = bits3 >> e3bits.astype(jnp.uint32)
-            e4 = litlen[table_id, (bits4 & 4095).astype(i32)].astype(jnp.uint32)
-            chained = chained & ((e4 & 0x8000) != 0) & (bpos + lit_bits < bit_stop)
-            cnt4 = ((e4 >> 8) & 0xF).astype(i32)
-            lit4 = ((e4 >> 16) & 0xFFFF).astype(jnp.uint32)
-            lit_lo, lit_hi = place(lit_lo, lit_hi, lit4, lit_count, chained)
-            lit_count = jnp.where(chained, lit_count + cnt4, lit_count)
-            lit_bits = jnp.where(chained, lit_bits + (e4 & 0xFF).astype(i32), lit_bits)
+            chained, lit_lo, lit_hi, lit_count, lit_bits = chain_level(
+                bits3, chained, lit_lo, lit_hi, lit_count, lit_bits
+            )
+            bits4 = bits3 >> (lit_bits - bits_before3).astype(jnp.uint32)
+            chained, lit_lo, lit_hi, lit_count, lit_bits = chain_level(
+                bits4, chained, lit_lo, lit_hi, lit_count, lit_bits
+            )
 
         # Non-literal: secondary table, length entry, EOF, or invalid.
         exceptional = (e & 0x4000) != 0

@@ -54,6 +54,7 @@ def _trained_tables():
         np.zeros((1, 1), np.uint32),
         dist.primary[None].astype(np.uint32),
         np.zeros((1, 1), np.uint32),
+        litlen.first_len[None].astype(np.int32),
     )
 
 
@@ -239,6 +240,7 @@ def fused_ultrafast_roundtrip(C: int, max_steps: int, N: int, chain: int = 4):
             bit_stop=stops,
             chain=chain,
             stream_row=srow,
+            litlen_first=t[4],
         )
         out, produced, ok = indexed_materialize(
             records, jnp.where(active, status, I._STOPPED), starts, C,

@@ -128,81 +128,40 @@ def checksum_tree_reduce(mesh):
     return jax.jit(mapped)
 
 
-def roundtrip_step(mesh, max_steps: int = 512):
+def roundtrip_step(mesh, max_steps: int = 512, chunks: int = 4):
     """The full sharded codec step (used by multi-chip dry runs and bench).
 
-    fn(data u8[B, N]) -> (decoded u8[B, *], total_bytes i32):
-      1. ultra-fast encode the batch (sharded over ``streams``);
-      2. symbol-decode the encoded streams on the same shards;
-      3. sequence-parallel checksum with cross-chip combine over ``seq``;
-      4. ``psum`` the byte counts over both axes (ICI collective).
+    fn(data u8[B, N]) -> (decoded_bytes i32[B], adler u32[B], total i32):
+      1. the fused codec pipeline per shard — ultra-fast encode, indexed
+         C-lane chunk decode, materialize, on-device checksum verify —
+         data-parallel over the ``streams`` axis;
+      2. ``psum`` of verified byte counts over ``streams`` and ``pmean``
+         over ``seq`` (ICI collectives).
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
-    from ..huffman import FIXED_LITLEN_TABLE  # noqa: F401 (table warmup)
-    from ..ops.inflate import decode_symbols
-    from ..ops.ultrafast_kernel import encode_ultrafast_batch
-    from ..models.ultrafast import STREAM_HEADER_BITS
-    from ..ops import inflate as I
-
-    # Trained-tree decode tables, shared by every ultra-fast stream.
-    from ..huffman import build_table
-    from ..tables import (
-        DEFAULT_DIST_TABLE_SIZE,
-        DEFAULT_LITLEN_TABLE_SIZE,
-        DISTANCE_TABLE_ENTRIES,
-        HUFFMAN_LENGTHS,
-        LITLEN_TABLE_ENTRIES,
-    )
-
-    litlen = build_table(
-        HUFFMAN_LENGTHS, LITLEN_TABLE_ENTRIES, DEFAULT_LITLEN_TABLE_SIZE,
-        is_distance_table=False, double_literal=True,
-    )
-    dist_lengths = np.zeros(32, np.int64)
-    dist_lengths[0] = 1
-    dist = build_table(
-        dist_lengths, DISTANCE_TABLE_ENTRIES, DEFAULT_DIST_TABLE_SIZE,
-        is_distance_table=True, double_literal=False,
-    )
-    tables_np = (
-        litlen.primary[None].astype(np.uint32),
-        (litlen.secondary if len(litlen.secondary) else np.zeros(1, np.uint16))[None].astype(np.uint32),
-        dist.primary[None].astype(np.uint32),
-        (dist.secondary if len(dist.secondary) else np.zeros(1, np.uint16))[None].astype(np.uint32),
-    )
+    from .device_pipeline import fused_ultrafast_roundtrip
 
     def local(data_slice):
-        import jax.numpy as jnp
-
         Bs, N = data_slice.shape
+        step = fused_ultrafast_roundtrip(chunks, max_steps=max_steps, N=N)
         lengths = jnp.full((Bs,), N, jnp.int32)
-        words, total_bits, adler = encode_ultrafast_batch(data_slice, lengths)
-
-        t = [jnp.asarray(x) for x in tables_np]
-        records, (bpos, opos, status) = decode_symbols(
-            words,
-            jnp.full((Bs,), STREAM_HEADER_BITS, jnp.int32),
-            total_bits,
-            jnp.zeros((Bs,), jnp.int32),
-            jnp.ones((Bs,), bool),
-            jnp.zeros((Bs,), jnp.int32),
-            t[0], t[1], t[2], t[3],
-            max_steps=max_steps,
-        )
-        decoded_bytes = opos
-        ok = status == I._EOB
-        # Cross-chip reduction: total decoded bytes over the whole mesh.
+        out, produced, ok, ck_ok = step(data_slice, lengths)
+        verified = ok & ck_ok
+        # Cross-chip reduction: total verified bytes over the whole mesh.
         # psum over the data-parallel axis sums distinct shards; pmean over
         # the sequence axis collapses the replicated copies (both ride ICI).
         total = jax.lax.pmean(
-            jax.lax.psum(jnp.sum(jnp.where(ok, decoded_bytes, 0)), "streams"),
+            jax.lax.psum(jnp.sum(jnp.where(verified, produced, 0)), "streams"),
             "seq",
         )
-        return decoded_bytes, adler, total
+        from ..ops.adler32 import adler32_jax
+
+        adler = jax.vmap(adler32_jax)(data_slice, lengths)
+        return produced, adler, total
 
     mapped = shard_map(
         local,
