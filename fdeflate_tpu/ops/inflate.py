@@ -118,18 +118,27 @@ def decode_symbols(
         hi = jnp.where(sh == 0, jnp.uint32(0), (w1 << (32 - sh).astype(jnp.uint32)))
         return (lo | hi).astype(jnp.uint32)
 
-    len_base = jnp.asarray(
-        np.concatenate([LEN_SYM_TO_LEN_BASE, [0, 0, 0]]).astype(np.int32)
-    )
-    len_extra = jnp.asarray(
-        np.concatenate([LEN_SYM_TO_LEN_EXTRA, [0, 0, 0]]).astype(np.int32)
-    )
-    dist_base_t = jnp.asarray(
-        np.concatenate([DIST_SYM_TO_DIST_BASE, [0, 0]]).astype(np.int32)
-    )
-    dist_extra_t = jnp.asarray(
-        np.concatenate([DIST_SYM_TO_DIST_EXTRA, [0, 0]]).astype(np.int32)
-    )
+    # Length/distance base+extra have closed forms (RFC 1951's tables are
+    # geometric), saving four per-lane gathers per iteration:
+    #   len sym 257+i:  extra = 0 (i<8) else min((i-4)>>2, 5); i=28 -> 0
+    #                   base  = i+3 (i<8) else ((4+(i&3)) << extra) + 3; 258
+    #   dist sym s:     extra = max(s/2 - 1, 0)
+    #                   base  = s+1 (s<2) else ((2+(s&1)) << extra) + 1
+    def len_sym_decode(li):
+        extra = jnp.where(li < 8, 0, jnp.minimum((li - 4) >> 2, 5))
+        extra = jnp.where(li >= 28, 0, extra)
+        base = jnp.where(
+            li < 8,
+            li + 3,
+            ((4 + (li & 3)) << jnp.maximum((li - 4) >> 2, 0)) + 3,
+        )
+        base = jnp.where(li >= 28, 258, base)
+        return base, extra
+
+    def dist_sym_decode(s):
+        extra = jnp.maximum(s // 2 - 1, 0)
+        base = jnp.where(s < 2, s + 1, ((2 + (s & 1)) << extra) + 1)
+        return base, extra
 
     rec_lit = jnp.zeros((max_steps, B), jnp.uint32)
     rec_lit_hi = jnp.zeros((max_steps, B), jnp.uint32)
@@ -243,11 +252,10 @@ def decode_symbols(
         invalid_ll = ~is_lit & exceptional & ~has_secondary & (ecode_bits == 0)
 
         lsym_idx = jnp.clip(sec_sym - 257, 0, 30)
-        length_base = jnp.where(
-            plain_len, (e >> 16).astype(i32), len_base[lsym_idx]
-        )
+        lb_f, le_f = len_sym_decode(lsym_idx)
+        length_base = jnp.where(plain_len, (e >> 16).astype(i32), lb_f)
         length_extra = jnp.where(
-            plain_len, ((e >> 8) & 0xFF).astype(i32), len_extra[lsym_idx]
+            plain_len, ((e >> 8) & 0xFF).astype(i32), le_f
         )
         ll_bits = jnp.where(plain_len, ecode_bits, sec_bits)
 
@@ -264,12 +272,9 @@ def decode_symbols(
         dse = dist_sec[table_id, jnp.clip(d_sec_idx, 0, dist_sec.shape[1] - 1)].astype(i32)
         d_sec_sym = dse >> 4
         d_invalid = ~d_is_prim & (((de >> 8) == 0) | (d_sec_sym >= 30))
-        dist_base = jnp.where(
-            d_is_prim, (de >> 16).astype(i32), dist_base_t[jnp.clip(d_sec_sym, 0, 31)]
-        )
-        dist_extra = jnp.where(
-            d_is_prim, ((de >> 8) & 0xF).astype(i32), dist_extra_t[jnp.clip(d_sec_sym, 0, 31)]
-        )
+        db_f, de_f = dist_sym_decode(jnp.clip(d_sec_sym, 0, 29))
+        dist_base = jnp.where(d_is_prim, (de >> 16).astype(i32), db_f)
+        dist_extra = jnp.where(d_is_prim, ((de >> 8) & 0xF).astype(i32), de_f)
         d_code_bits = jnp.where(d_is_prim, (de & 0xFF).astype(i32), dse & 0xF)
         drem = dbits >> d_code_bits.astype(jnp.uint32)
         distance = dist_base + (drem & ((jnp.uint32(1) << dist_extra.astype(jnp.uint32)) - 1)).astype(i32)
