@@ -306,14 +306,22 @@ def finalize_streams(words, total_bits, adler) -> list[bytes]:
 
 
 @functools.lru_cache(maxsize=8)
-def _jitted_encoder():
+def _jitted_encoder(num_chunks: int = 0):
     import jax
 
-    return jax.jit(encode_ultrafast_batch)
+    return jax.jit(
+        functools.partial(encode_ultrafast_batch, num_chunks=num_chunks)
+    )
 
 
-def compress_batch_ultra_fast(streams: list[bytes]) -> list[bytes]:
-    """Host-facing batch API: ultra-fast-compress many streams on device."""
+def compress_batch_ultra_fast(streams: list[bytes], with_index: int = 0):
+    """Host-facing batch API: ultra-fast-compress many streams on device.
+
+    With ``with_index=C`` also returns an int32[B, C] chunk index (exact
+    symbol-boundary bit positions) that ``decompress_batch_indexed`` uses
+    for chunk-parallel decode.  The index is auxiliary metadata; the streams
+    themselves stay plain zlib.
+    """
     import jax.numpy as jnp
 
     B = len(streams)
@@ -322,7 +330,9 @@ def compress_batch_ultra_fast(streams: list[bytes]) -> list[bytes]:
     buf = np.zeros((B, N), dtype=np.uint8)
     for i, s in enumerate(streams):
         buf[i, : len(s)] = np.frombuffer(s, dtype=np.uint8)
-    words, total_bits, adler = _jitted_encoder()(
-        jnp.asarray(buf), jnp.asarray(lengths)
-    )
+    result = _jitted_encoder(with_index)(jnp.asarray(buf), jnp.asarray(lengths))
+    if with_index:
+        words, total_bits, adler, index = result
+        return finalize_streams(words, total_bits, adler), np.asarray(index)
+    words, total_bits, adler = result
     return finalize_streams(words, total_bits, adler)

@@ -191,6 +191,111 @@ def indexed_materialize(records, status, starts_mat, C: int, out_capacity: int):
     return out, produced, ok
 
 
+def indexed_decode_step(C: int, max_steps: int, out_capacity: int, chain: int = 4):
+    """Jittable chunk-parallel decoder for indexed ultra-fast streams.
+
+    fn(words u32[B, W], total_bits i32[B], chunk_starts i32[B, C]) ->
+      (out u8[B, cap], produced i32[B], ok bool[B]).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.inflate import decode_symbols
+
+    tables = _trained_tables()
+
+    def step(words, total_bits, chunk_starts):
+        i32 = jnp.int32
+        B = words.shape[0]
+        L = B * C
+        starts = chunk_starts.reshape(-1)
+        next_start = jnp.concatenate(
+            [chunk_starts[:, 1:], jnp.full((B, 1), 1 << 30, i32)], axis=1
+        ).reshape(-1)
+        bits_l = jnp.repeat(total_bits, C)
+        stops = jnp.minimum(next_start, bits_l)
+        srow = jnp.repeat(jnp.arange(B, dtype=i32), C)
+        active = starts < stops
+
+        t = [jnp.asarray(x) for x in tables]
+        records, (bpos, opos, status) = decode_symbols(
+            words, starts, bits_l,
+            jnp.full((L,), 1 << 30, i32),
+            active, jnp.zeros((L,), i32),
+            t[0], t[1], t[2], t[3],
+            max_steps=max_steps, bit_stop=stops, chain=chain,
+            stream_row=srow, litlen_first=t[4],
+        )
+        return indexed_materialize(
+            records, jnp.where(active, status, I._STOPPED), starts, C,
+            out_capacity=out_capacity,
+        )
+
+    return step
+
+
+def decompress_batch_indexed(
+    streams: list[bytes], index: np.ndarray, max_steps: int | None = None
+) -> list[bytes]:
+    """Decode indexed ultra-fast streams with chunk-parallel device lanes.
+
+    ``index`` comes from ``compress_batch_ultra_fast(..., with_index=C)``.
+    Falls back to the generic decoder for any stream the indexed pipeline
+    rejects.  Checksums verify on host during assembly.
+    """
+    import functools as ft
+
+    import jax
+    import jax.numpy as jnp
+    import zlib
+
+    from .. import errors as E
+
+    B = len(streams)
+    C = index.shape[1]
+    Wmax = 1 << int(np.ceil(np.log2(max(len(s) for s in streams) // 4 + 2)))
+    words_np = np.zeros((B, Wmax), np.uint32)
+    bits = np.zeros(B, np.int32)
+    for i, s in enumerate(streams):
+        body = s[:-4]  # trailing adler is framing, not bitstream
+        padded = body + bytes((-len(body)) % 4) + bytes(8)
+        words_np[i, : len(padded) // 4] = np.frombuffer(padded, "<u4")
+        bits[i] = len(body) * 8
+    # Output capacity isn't known up front (runs expand); `produced` from
+    # the decode records is exact, so grow and retry on underestimate.
+    cap = 1 << int(
+        np.ceil(np.log2(max(int(b) for b in bits) // 2 + 256))
+    )
+    if max_steps is None:
+        max_steps = max(2048, cap // C)
+    for _ in range(8):
+        step = jax.jit(indexed_decode_step(C, max_steps, cap))
+        out, produced, ok = step(
+            jnp.asarray(words_np), jnp.asarray(bits), jnp.asarray(index)
+        )
+        produced = np.asarray(produced)
+        if int(produced.max(initial=0)) <= cap:
+            break
+        cap = 1 << int(np.ceil(np.log2(int(produced.max()))))
+    out = np.asarray(out)
+    ok = np.asarray(ok)
+
+    results: list[bytes] = []
+    for i, s in enumerate(streams):
+        if not ok[i]:
+            from ..ops.inflate import decompress_batch
+
+            r = decompress_batch([s])[0]
+            if isinstance(r, E.DecompressionError):
+                raise r
+            results.append(r)
+            continue
+        data = out[i, : produced[i]].tobytes()
+        if zlib.adler32(data) != int.from_bytes(s[-4:], "big"):
+            raise E.WrongChecksum()
+        results.append(data)
+    return results
+
+
 def fused_ultrafast_roundtrip(C: int, max_steps: int, N: int, chain: int = 4):
     """Build the jittable fused encode->decode->verify step.
 

@@ -228,3 +228,27 @@ class TestIndexedFusedPipeline:
             assert idx[b, 0] == 53 * 8 + 5
             assert (np.diff(idx[b]) >= 0).all()
             assert (idx[b] <= bits[b]).all()
+
+
+class TestIndexedBatchAPI:
+    def test_roundtrip_with_expansion(self, rng):
+        from fdeflate_tpu.ops.ultrafast_kernel import compress_batch_ultra_fast
+        from fdeflate_tpu.parallel.device_pipeline import (
+            decompress_batch_indexed,
+        )
+
+        datas = [
+            rng.choice([0] * 7 + [40, 90], 60_000).astype(np.uint8).tobytes(),
+            bytes(200_000),  # high expansion exercises capacity growth
+            rng.integers(0, 256, 20_000, dtype=np.uint8).tobytes(),
+            b"small",
+            b"",
+        ]
+        streams, index = compress_batch_ultra_fast(datas, with_index=8)
+        assert index.shape == (len(datas), 8)
+        back = decompress_batch_indexed(streams, index)
+        for r, e in zip(back, datas):
+            assert r == e
+        # streams stay plain zlib
+        for s, e in zip(streams, datas):
+            assert zlib.decompress(s) == e
