@@ -85,6 +85,8 @@ def decode_symbols(
                         # given, a double-literal entry whose second symbol
                         # starts exactly at ``bit_stop`` is split so chunk
                         # lanes never consume the next lane's symbols
+    lut_matmul: bool = False,  # single-table batches only: entry lookups as
+                               # one-hot matmuls (MXU) instead of gathers
 ):
     """Run up to ``max_steps`` decode steps on every active lane.
 
@@ -107,6 +109,57 @@ def decode_symbols(
     i32 = jnp.int32
 
     rows = jnp.arange(B) if stream_row is None else stream_row
+
+    if lut_matmul:
+        assert litlen.shape[0] == 1, "matmul LUT requires a shared table set"
+        # Entries are full u32; split into two exact-f32 16-bit columns.
+        lit_cols = jnp.stack(
+            [
+                (litlen[0] & 0xFFFF).astype(jnp.float32),
+                (litlen[0] >> 16).astype(jnp.float32),
+            ],
+            axis=1,
+        )  # [4096, 2]
+        if litlen_first is not None:
+            lit_cols = jnp.concatenate(
+                [lit_cols, litlen_first[0].astype(jnp.float32)[:, None]], axis=1
+            )
+        dist_cols = jnp.stack(
+            [
+                (dist[0] & 0xFFFF).astype(jnp.float32),
+                (dist[0] >> 16).astype(jnp.float32),
+            ],
+            axis=1,
+        )  # [512, 2]
+
+        def lit_lookup(idx):
+            oh = jax.nn.one_hot(idx, litlen.shape[1], dtype=jnp.float32)
+            out = oh @ lit_cols
+            e = out[:, 0].astype(jnp.uint32) | (
+                out[:, 1].astype(jnp.uint32) << 16
+            )
+            fl = out[:, 2].astype(jnp.int32) if litlen_first is not None else None
+            return e, fl
+
+        def dist_lookup(idx):
+            oh = jax.nn.one_hot(idx, dist.shape[1], dtype=jnp.float32)
+            out = oh @ dist_cols
+            return out[:, 0].astype(jnp.uint32) | (
+                out[:, 1].astype(jnp.uint32) << 16
+            )
+    else:
+
+        def lit_lookup(idx):
+            e = litlen[table_id, idx].astype(jnp.uint32)
+            fl = (
+                litlen_first[table_id, idx]
+                if litlen_first is not None
+                else None
+            )
+            return e, fl
+
+        def dist_lookup(idx):
+            return dist[table_id, idx].astype(jnp.uint32)
 
     def fetch(pos):
         """32 stream bits starting at bit ``pos`` (per lane)."""
@@ -161,7 +214,7 @@ def decode_symbols(
         running = status == _OK
 
         ubits = fetch(bpos)
-        e = litlen[table_id, (ubits & 4095).astype(i32)].astype(jnp.uint32)
+        e, fl = lit_lookup((ubits & 4095).astype(i32))
         ecode_bits = (e & 0xFF).astype(i32)
 
         is_lit = (e & 0x8000) != 0
@@ -184,7 +237,6 @@ def decode_symbols(
         lit1 = ((e >> 16) & 0xFFFF).astype(jnp.uint32)
         if litlen_first is not None:
             cross = is_lit & (bpos + ecode_bits > bit_stop)
-            fl = litlen_first[table_id, (ubits & 4095).astype(i32)]
             ecode_bits = jnp.where(cross, fl, ecode_bits)
             cnt1 = jnp.where(cross, 1, cnt1)
             lit1 = jnp.where(cross, lit1 & 0xFF, lit1)
@@ -197,14 +249,13 @@ def decode_symbols(
 
         def chain_level(idx_bits, chained, lit_lo, lit_hi, lit_count, lit_bits):
             """One chained literal lookup with chunk-stop handling."""
-            e_n = litlen[table_id, (idx_bits & 4095).astype(i32)].astype(jnp.uint32)
+            e_n, fl_n = lit_lookup((idx_bits & 4095).astype(i32))
             ok_n = chained & ((e_n & 0x8000) != 0) & (bpos + lit_bits < bit_stop)
             bits_n = (e_n & 0xFF).astype(i32)
             cnt_n = ((e_n >> 8) & 0xF).astype(i32)
             lit_n = ((e_n >> 16) & 0xFFFF).astype(jnp.uint32)
             if litlen_first is not None:
                 cross_n = ok_n & (bpos + lit_bits + bits_n > bit_stop)
-                fl_n = litlen_first[table_id, (idx_bits & 4095).astype(i32)]
                 bits_n = jnp.where(cross_n, fl_n, bits_n)
                 cnt_n = jnp.where(cross_n, 1, cnt_n)
                 lit_n = jnp.where(cross_n, lit_n & 0xFF, lit_n)
@@ -266,7 +317,7 @@ def decode_symbols(
         # Distance decode at bit_pos + ll_bits + length_extra.
         dpos = bpos + ll_bits + length_extra
         dbits = fetch(dpos)
-        de = dist[table_id, (dbits & 511).astype(i32)].astype(jnp.uint32)
+        de = dist_lookup((dbits & 511).astype(i32))
         d_is_prim = (de & 0x8000) != 0
         d_sec_idx = ((de >> 16).astype(i32) + ((dbits >> 9) & (de & 0xFF)).astype(i32))
         dse = dist_sec[table_id, jnp.clip(d_sec_idx, 0, dist_sec.shape[1] - 1)].astype(i32)
