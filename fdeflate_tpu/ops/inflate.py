@@ -505,10 +505,19 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
     in_new = (posi >= WINDOW) & (posi < produced_col)
     is_copy = in_new & (pos_dist > 0)
 
-    ptr = jnp.where(is_copy, posi - pos_dist, posi)
+    # Single-hop pointers: a backref record copies a dist-periodic pattern,
+    # so every position inside it maps STRAIGHT to the pattern source just
+    # before the record: start - d + ((i - start) mod d).  This collapses
+    # within-record chains (a 258-byte dist-1 run resolves in one hop
+    # instead of 258), leaving only cross-record chains for the doubling.
+    rec_start = jax.lax.cummax(jnp.where(marks > 0, posi, -1), axis=1)
+    d_safe = jnp.maximum(pos_dist, 1)
+    hop = rec_start - d_safe + (posi - rec_start) % d_safe
+    ptr = jnp.where(is_copy, hop, posi)
 
-    # Pointer doubling: each copy chain step strictly decreases the
-    # position, so ceil(log2(ext)) rounds of p = p[p] reach a fixed point.
+    # Pointer doubling: each round squares the resolved cross-record chain
+    # depth, so ceil(log2(max record-chain depth)) rounds reach the fixed
+    # point; ext's bit length is the safe upper bound.
     p = ptr
     for _ in range(ptr_rounds):
         p = jnp.take_along_axis(p, p, axis=1)

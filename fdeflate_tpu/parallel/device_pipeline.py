@@ -59,7 +59,8 @@ def _trained_tables():
 
 
 def stitch_and_materialize(
-    records, bpos, status, starts, payload_start, C: int, out_capacity: int
+    records, bpos, status, starts, payload_start, C: int, out_capacity: int,
+    ptr_rounds: int | None = None,
 ):
     """Device-side stitch of speculative chunk records + materialization.
 
@@ -142,11 +143,13 @@ def stitch_and_materialize(
         jnp.zeros((B, I.WINDOW), jnp.uint8),
         produced,
         out_capacity=out_capacity,
+        ptr_rounds=ptr_rounds,
     )
     return out, produced, ok
 
 
-def indexed_materialize(records, status, starts_mat, C: int, out_capacity: int):
+def indexed_materialize(records, status, starts_mat, C: int, out_capacity: int,
+                        ptr_rounds: int | None = None):
     """Assemble output from exactly-indexed chunk lanes (no stitching).
 
     Every lane started at an exact symbol boundary from the encoder's chunk
@@ -187,11 +190,13 @@ def indexed_materialize(records, status, starts_mat, C: int, out_capacity: int):
         jnp.zeros((B, I.WINDOW), jnp.uint8),
         produced,
         out_capacity=out_capacity,
+        ptr_rounds=ptr_rounds,
     )
     return out, produced, ok
 
 
-def indexed_decode_step(C: int, max_steps: int, out_capacity: int, chain: int = 4):
+def indexed_decode_step(C: int, max_steps: int, out_capacity: int, chain: int = 4,
+                        ptr_rounds: int | None = None):
     """Jittable chunk-parallel decoder for indexed ultra-fast streams.
 
     fn(words u32[B, W], total_bits i32[B], chunk_starts i32[B, C]) ->
@@ -227,7 +232,7 @@ def indexed_decode_step(C: int, max_steps: int, out_capacity: int, chain: int = 
         )
         return indexed_materialize(
             records, jnp.where(active, status, I._STOPPED), starts, C,
-            out_capacity=out_capacity,
+            out_capacity=out_capacity, ptr_rounds=ptr_rounds,
         )
 
     return step
@@ -296,7 +301,9 @@ def decompress_batch_indexed(
     return results
 
 
-def fused_ultrafast_roundtrip(C: int, max_steps: int, N: int, chain: int = 4):
+def fused_ultrafast_roundtrip(C: int, max_steps: int, N: int, chain: int = 4,
+                              ptr_rounds: int | None = None,
+                              lut_matmul: bool = False):
     """Build the jittable fused encode->decode->verify step.
 
     The encoder emits an exact chunk index (symbol-boundary bit positions),
@@ -346,10 +353,11 @@ def fused_ultrafast_roundtrip(C: int, max_steps: int, N: int, chain: int = 4):
             chain=chain,
             stream_row=srow,
             litlen_first=t[4],
+            lut_matmul=lut_matmul,
         )
         out, produced, ok = indexed_materialize(
             records, jnp.where(active, status, I._STOPPED), starts, C,
-            out_capacity=N,
+            out_capacity=N, ptr_rounds=ptr_rounds,
         )
         ck = jax.vmap(adler32_jax)(out, produced)
         ck_ok = ck == adler
