@@ -112,41 +112,39 @@ def decode_symbols(
 
     if lut_matmul:
         assert litlen.shape[0] == 1, "matmul LUT requires a shared table set"
-        # Entries are full u32; split into two exact-f32 16-bit columns.
-        lit_cols = jnp.stack(
-            [
-                (litlen[0] & 0xFFFF).astype(jnp.float32),
-                (litlen[0] >> 16).astype(jnp.float32),
-            ],
-            axis=1,
-        )  # [4096, 2]
+        # Entries split into byte columns: values <= 255 stay exact even
+        # when the backend lowers f32 dots through bf16 passes.
+        def byte_cols(t, nbytes):
+            return jnp.stack(
+                [((t >> (8 * j)) & 0xFF).astype(jnp.float32) for j in range(nbytes)],
+                axis=1,
+            )
+
+        lit_cols = byte_cols(litlen[0], 4)
         if litlen_first is not None:
             lit_cols = jnp.concatenate(
                 [lit_cols, litlen_first[0].astype(jnp.float32)[:, None]], axis=1
             )
-        dist_cols = jnp.stack(
-            [
-                (dist[0] & 0xFFFF).astype(jnp.float32),
-                (dist[0] >> 16).astype(jnp.float32),
-            ],
-            axis=1,
-        )  # [512, 2]
+        dist_cols = byte_cols(dist[0], 4)
+
+        def reassemble(out):
+            return (
+                out[:, 0].astype(jnp.uint32)
+                | (out[:, 1].astype(jnp.uint32) << 8)
+                | (out[:, 2].astype(jnp.uint32) << 16)
+                | (out[:, 3].astype(jnp.uint32) << 24)
+            )
 
         def lit_lookup(idx):
             oh = jax.nn.one_hot(idx, litlen.shape[1], dtype=jnp.float32)
-            out = oh @ lit_cols
-            e = out[:, 0].astype(jnp.uint32) | (
-                out[:, 1].astype(jnp.uint32) << 16
-            )
-            fl = out[:, 2].astype(jnp.int32) if litlen_first is not None else None
+            out = (oh @ lit_cols).astype(jnp.int32)
+            e = reassemble(out)
+            fl = out[:, 4] if litlen_first is not None else None
             return e, fl
 
         def dist_lookup(idx):
             oh = jax.nn.one_hot(idx, dist.shape[1], dtype=jnp.float32)
-            out = oh @ dist_cols
-            return out[:, 0].astype(jnp.uint32) | (
-                out[:, 1].astype(jnp.uint32) << 16
-            )
+            return reassemble((oh @ dist_cols).astype(jnp.int32))
     else:
 
         def lit_lookup(idx):

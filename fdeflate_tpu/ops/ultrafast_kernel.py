@@ -49,8 +49,9 @@ def _lut(table, idx, use_matmul: bool):
 
     XLA's TPU lowering of dynamic gathers from small tables is slow
     (~100M lookups/s); a [M, K] one-hot against the K-entry table rides the
-    MXU instead.  Table values must stay below 2^24 so float32 products are
-    exact.
+    MXU instead.  The table splits into byte columns (values <= 255 are
+    exact even when the backend lowers f32 dots to bf16 passes) and the
+    result reassembles with shifts.
     """
     import jax
     import jax.numpy as jnp
@@ -58,9 +59,14 @@ def _lut(table, idx, use_matmul: bool):
     if not use_matmul:
         return table[idx]
     K = table.shape[0]
+    cols = jnp.stack(
+        [((table >> (8 * j)) & 0xFF).astype(jnp.float32) for j in range(3)],
+        axis=1,
+    )  # [K, 3]; table values < 2^24
     oh = jax.nn.one_hot(idx.reshape(-1), K, dtype=jnp.float32)
-    out = oh @ table.astype(jnp.float32)
-    return out.astype(jnp.int32).reshape(idx.shape)
+    out = (oh @ cols).astype(jnp.int32)
+    combined = out[:, 0] | (out[:, 1] << 8) | (out[:, 2] << 16)
+    return combined.reshape(idx.shape)
 
 
 def encode_ultrafast_batch(
