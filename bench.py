@@ -118,9 +118,11 @@ def bench_device(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
         enc_times.append(time.perf_counter() - t0)
     enc_gbps = data.size / min(enc_times) / 1e9
 
-    chunks = int(os.environ.get("FDN_BENCH_CHUNKS", "64"))
+    chunks = int(os.environ.get("FDN_BENCH_CHUNKS", "256"))
     max_steps = max(512, N // chunks)
-    step = fused_ultrafast_roundtrip(chunks, max_steps=max_steps, N=N)
+    step = fused_ultrafast_roundtrip(
+        chunks, max_steps=max_steps, N=N, ptr_rounds=14
+    )
 
     @jax.jit
     def fused_scalar(d, lengths):
