@@ -159,15 +159,37 @@ def decode_symbols(
         def dist_lookup(idx):
             return dist[table_id, idx].astype(jnp.uint32)
 
-    def fetch(pos):
-        """32 stream bits starting at bit ``pos`` (per lane)."""
-        widx = pos >> 5
-        sh = (pos & 31).astype(jnp.uint32)
-        w0 = words[rows, widx].astype(jnp.uint32)
-        w1 = words[rows, jnp.minimum(widx + 1, words.shape[1] - 1)].astype(jnp.uint32)
-        lo = w0 >> sh
-        hi = jnp.where(sh == 0, jnp.uint32(0), (w1 << (32 - sh).astype(jnp.uint32)))
-        return (lo | hi).astype(jnp.uint32)
+    Wlast = words.shape[1] - 1
+
+    def load_word(widx):
+        return words[rows, jnp.minimum(widx, Wlast)].astype(jnp.uint32)
+
+    # Carried 96-bit window: (w0, w1, w2) hold words[base .. base+2] with the
+    # invariant bpos - 32*base in [0, 32).  A decode step needs at most 32
+    # bits at an offset <= 24 past bpos (<= 56 < 96), so peeks are pure
+    # shifts; refilling after a step costs at most two masked gathers
+    # instead of six unconditional ones.
+    def make_peek(bpos, base, w0, w1, w2):
+        def peek(off):
+            o = (bpos - (base << 5)) + off
+            sel = o >= 32
+            a = jnp.where(sel, w1, w0)
+            b = jnp.where(sel, w2, w1)
+            oo = (o & 31).astype(jnp.uint32)
+            lo = a >> oo
+            hi = jnp.where(oo == 0, jnp.uint32(0), b << (32 - oo).astype(jnp.uint32))
+            return lo | hi
+
+        return peek
+
+    def refill(new_bpos, base, w0, w1, w2):
+        for _ in range(2):
+            need = (new_bpos >> 5) > base
+            w0 = jnp.where(need, w1, w0)
+            w1 = jnp.where(need, w2, w1)
+            base = jnp.where(need, base + 1, base)
+            w2 = jnp.where(need, load_word(base + 2), w2)
+        return base, w0, w1, w2
 
     # Length/distance base+extra have closed forms (RFC 1951's tables are
     # geometric), saving four per-lane gathers per iteration:
@@ -202,16 +224,22 @@ def decode_symbols(
         bit_stop = jnp.full((B,), 0x7FFFFFFF, jnp.int32)
 
     status0 = jnp.where(active, _OK, _EOB).astype(jnp.int8)
+    base0 = bit_pos >> 5
+    w0_init = load_word(base0)
+    w1_init = load_word(base0 + 1)
+    w2_init = load_word(base0 + 2)
 
     def cond(state):
         i, _, _, status, *_ = state
         return (i < max_steps) & jnp.any(status == _OK)
 
     def body(state):
-        i, bpos, opos, status, rl, rlh, rc, rn, rd, rp = state
+        (i, bpos, opos, status, base, w0, w1, w2,
+         rl, rlh, rc, rn, rd, rp) = state
         running = status == _OK
+        peek = make_peek(bpos, base, w0, w1, w2)
 
-        ubits = fetch(bpos)
+        ubits = peek(0)
         e, fl = lit_lookup((ubits & 4095).astype(i32))
         ecode_bits = (e & 0xFF).astype(i32)
 
@@ -273,7 +301,7 @@ def decode_symbols(
         if chain >= 4:
             # Refetch a fresh 32-bit window past the first two codes.
             bits_before3 = lit_bits
-            bits3 = fetch(bpos + lit_bits)
+            bits3 = peek(lit_bits)
             chained, lit_lo, lit_hi, lit_count, lit_bits = chain_level(
                 bits3, chained, lit_lo, lit_hi, lit_count, lit_bits
             )
@@ -313,8 +341,7 @@ def decode_symbols(
         length = length_base + (rem & ((jnp.uint32(1) << length_extra.astype(jnp.uint32)) - 1)).astype(i32)
 
         # Distance decode at bit_pos + ll_bits + length_extra.
-        dpos = bpos + ll_bits + length_extra
-        dbits = fetch(dpos)
+        dbits = peek(ll_bits + length_extra)
         de = dist_lookup((dbits & 511).astype(i32))
         d_is_prim = (de & 0x8000) != 0
         d_sec_idx = ((de >> 16).astype(i32) + ((dbits >> 9) & (de & 0xFF)).astype(i32))
@@ -398,15 +425,20 @@ def decode_symbols(
             ),
             status,
         )
-        return (i + 1, new_bpos, new_opos, new_status, rl, rlh, rc, rn, rd, rp)
+        new_base, nw0, nw1, nw2 = refill(new_bpos, base, w0, w1, w2)
+        return (
+            i + 1, new_bpos, new_opos, new_status, new_base, nw0, nw1, nw2,
+            rl, rlh, rc, rn, rd, rp,
+        )
 
     init = (
         jnp.int32(0), bit_pos, out_pos, status0,
+        base0, w0_init, w1_init, w2_init,
         rec_lit, rec_lit_hi, rec_cnt, rec_len, rec_dst, rec_pos,
     )
-    _, bpos, opos, status, rl, rlh, rc, rn, rd, rp = jax.lax.while_loop(
-        cond, body, init
-    )
+    out_state = jax.lax.while_loop(cond, body, init)
+    _, bpos, opos, status = out_state[:4]
+    rl, rlh, rc, rn, rd, rp = out_state[8:]
     return (rl, rlh, rc, rn, rd, rp), (bpos, opos, status)
 
 
