@@ -545,6 +545,13 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
     hop = rec_start - d_safe + (posi - rec_start) % d_safe
     ptr = jnp.where(is_copy, hop, posi)
 
+    # Distance-1 chains (RLE — the dominant case for PNG-style streams)
+    # collapse entirely with one cummax: every position in a maximal span of
+    # dist-1 records copies the nearest byte left of the span.
+    is_d1 = is_copy & (pos_dist == 1)
+    left_non_d1 = jax.lax.cummax(jnp.where(~is_d1, posi, -1), axis=1)
+    ptr = jnp.where(is_d1, left_non_d1, ptr)
+
     # Pointer doubling: each round squares the resolved cross-record chain
     # depth, so ceil(log2(max record-chain depth)) rounds reach the fixed
     # point; ext's bit length is the safe upper bound.
