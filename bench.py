@@ -124,7 +124,8 @@ def bench_device(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
     # number is simply omitted (encode still reports).
     max_steps = int(os.environ.get("FDN_BENCH_STEPS", "768"))
     step = fused_ultrafast_roundtrip(
-        chunks, max_steps=max_steps, N=N, ptr_rounds=10
+        chunks, max_steps=max_steps, N=N,
+        ptr_rounds=int(os.environ.get("FDN_BENCH_PTR_ROUNDS", "2")),
     )
 
     @jax.jit
