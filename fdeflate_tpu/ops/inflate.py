@@ -40,11 +40,7 @@ from ..tables import (
     CLCL_ORDER,
     DEFAULT_DIST_TABLE_SIZE,
     DEFAULT_LITLEN_TABLE_SIZE,
-    DIST_SYM_TO_DIST_BASE,
-    DIST_SYM_TO_DIST_EXTRA,
     DISTANCE_TABLE_ENTRIES,
-    LEN_SYM_TO_LEN_BASE,
-    LEN_SYM_TO_LEN_EXTRA,
     LITLEN_TABLE_ENTRIES,
 )
 
