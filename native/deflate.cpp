@@ -64,16 +64,29 @@ static inline int dist_sym(uint32_t d) {
 
 static uint32_t adler32d(const uint8_t* p, size_t n) {
   uint32_t a = 1, b = 0;
-  while (n > 0) {
-    size_t chunk = n > 5552 ? 5552 : n;
-    n -= chunk;
-    for (size_t i = 0; i < chunk; i++) {
-      a += *p++;
-      b += a;
+  while (n >= 16) {
+    size_t blocks = n / 16;
+    if (blocks > 347) blocks = 347;  // 347*16 < 5552: no 32-bit overflow
+    n -= blocks * 16;
+    for (size_t blk = 0; blk < blocks; blk++) {
+      uint32_t sum = 0, wsum = 0;
+      for (int i = 0; i < 16; i++) {
+        sum += p[i];
+        wsum += (16 - i) * p[i];
+      }
+      b += 16 * a + wsum;
+      a += sum;
+      p += 16;
     }
     a %= 65521;
     b %= 65521;
   }
+  for (size_t i = 0; i < n; i++) {
+    a += *p++;
+    b += a;
+  }
+  a %= 65521;
+  b %= 65521;
   return (b << 16) | a;
 }
 

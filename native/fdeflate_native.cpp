@@ -63,18 +63,33 @@ constexpr uint8_t kClclOrder[19] = {16, 17, 18, 0, 8, 7, 9, 6, 10, 5,
                                     11, 4, 12, 3, 13, 2, 14, 1, 15};
 
 // ---- adler32 --------------------------------------------------------------
+// Block form so the compiler can vectorize: over a 16-byte block,
+// a' = a + sum(d), b' = b + 16*a + sum((16-i)*d[i]).
 static uint32_t adler32(const uint8_t* p, size_t n, uint32_t seed = 1) {
   uint32_t a = seed & 0xffff, b = seed >> 16;
-  while (n > 0) {
-    size_t chunk = n > 5552 ? 5552 : n;
-    n -= chunk;
-    for (size_t i = 0; i < chunk; i++) {
-      a += *p++;
-      b += a;
+  while (n >= 16) {
+    size_t blocks = n / 16;
+    if (blocks > 347) blocks = 347;  // 347*16 < 5552: no 32-bit overflow
+    n -= blocks * 16;
+    for (size_t blk = 0; blk < blocks; blk++) {
+      uint32_t sum = 0, wsum = 0;
+      for (int i = 0; i < 16; i++) {
+        sum += p[i];
+        wsum += (16 - i) * p[i];
+      }
+      b += 16 * a + wsum;
+      a += sum;
+      p += 16;
     }
     a %= 65521;
     b %= 65521;
   }
+  for (size_t i = 0; i < n; i++) {
+    a += *p++;
+    b += a;
+  }
+  a %= 65521;
+  b %= 65521;
   return (b << 16) | a;
 }
 

@@ -245,3 +245,20 @@ class TestDegenerateTrees:
         if native_available():
             with pytest.raises(E.InvalidDistanceCode):
                 inflate(stream)
+
+
+def test_secondary_tables_chunking_insensitive():
+    """Byte-wise streaming through secondary-table codes must match
+    whole-buffer decoding (the streaming decoder's hardest path)."""
+    import sys
+
+    sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_utils import verify_no_sensitivity_to_input_chunking
+
+    lengths = lopsided_lengths()
+    symbols = [0, 1, 2, 13, 14, 14, 0, 5, 9, 14] * 3
+    stream, expected = emit_dynamic_block(
+        lengths, np.zeros(30, np.int64), symbols
+    )
+    kind, result = verify_no_sensitivity_to_input_chunking(stream)
+    assert kind == "ok" and result == expected

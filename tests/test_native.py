@@ -104,3 +104,16 @@ def test_deflate_raw_mode():
     data = b"raw native deflate" * 100
     comp = native.deflate(data, 3, zlib_mode=False)
     assert zlib.decompress(comp, wbits=-15) == data
+
+
+def test_native_on_chunking_fixtures():
+    import pathlib
+
+    fixtures = pathlib.Path(__file__).parent / "fixtures"
+    d1 = (fixtures / "input-chunking-sensitivity-example1.zz").read_bytes()
+    out = native.inflate(d1, ignore_adler32=True)
+    assert len(out) == 281 and zlib.adler32(out) == 751299
+    for name in ("example2", "example3"):
+        data = (fixtures / f"input-chunking-sensitivity-{name}.zz").read_bytes()
+        with pytest.raises(E.BadLiteralLengthHuffmanTree):
+            native.inflate(data, ignore_adler32=True)
