@@ -1,0 +1,83 @@
+"""Multi-device scaling harness.
+
+Runs the sharded codec step over meshes of 1..N devices with fixed
+per-device work (weak scaling) and reports parallel efficiency.  On this
+sandbox only one physical chip exists, so the harness exercises the real
+sharding machinery on a virtual CPU mesh (JAX_PLATFORMS=cpu with
+--xla_force_host_platform_device_count); on a pod slice the same script
+measures true ICI/DCN scaling (BASELINE.md's >=85% multi-host target).
+
+Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+     python bench/scaling.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from fdeflate_tpu.parallel.shard import make_mesh, roundtrip_step
+    import bench as B
+
+    total_devices = len(jax.devices())
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        print(json.dumps({
+            "note": "virtual CPU mesh: all devices share the host's cores, "
+                    "so weak-scaling efficiency reflects host saturation, "
+                    "not interconnect scaling; run on a pod slice for real "
+                    "ICI/DCN numbers"
+        }), flush=True)
+    per_device_streams = 2
+    N = 1 << 16
+
+    results = {}
+    base_time = None
+    counts = [d for d in (1, 2, 4, 8, 16) if d <= total_devices]
+    for nd in counts:
+        seq = 1
+        mesh = make_mesh((nd, seq), devices=jax.devices()[:nd])
+        Bt = per_device_streams * nd
+        data = jnp.asarray(B.make_idat_corpus(Bt, N))
+        step = roundtrip_step(mesh, max_steps=N // 4, chunks=4)
+        out = step(data)
+        total = int(np.asarray(out[2]))
+        assert total == Bt * N, (total, Bt * N)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = step(data)
+            _ = int(np.asarray(r[2]))
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        if base_time is None:
+            base_time = t
+        eff = base_time / t  # weak scaling: ideal == 1.0
+        results[nd] = {
+            "devices": nd,
+            "streams": Bt,
+            "seconds": round(t, 4),
+            "gbps": round(Bt * N / t / 1e9, 4),
+            "weak_scaling_efficiency": round(eff, 3),
+        }
+        print(json.dumps(results[nd]), flush=True)
+
+
+if __name__ == "__main__":
+    main()
