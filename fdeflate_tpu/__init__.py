@@ -58,6 +58,31 @@ from .models.ultrafast import UltraFastCompressor
 
 __version__ = "0.1.0"
 
+
+def __getattr__(name):
+    """Lazy access to the device/batch APIs (they import jax)."""
+    if name == "compress_batch_ultra_fast":
+        from .ops.ultrafast_kernel import compress_batch_ultra_fast
+
+        return compress_batch_ultra_fast
+    if name == "decompress_batch":
+        from .ops.inflate import decompress_batch
+
+        return decompress_batch
+    if name == "decompress_batch_indexed":
+        from .parallel.device_pipeline import decompress_batch_indexed
+
+        return decompress_batch_indexed
+    if name == "decompress_speculative":
+        from .parallel.speculative import decompress_speculative
+
+        return decompress_speculative
+    if name == "decompress_batch_speculative":
+        from .parallel.batch_speculative import decompress_batch_speculative
+
+        return decompress_batch_speculative
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
 __all__ = [
     "Compressor",
     "UltraFastCompressor",
