@@ -252,3 +252,33 @@ class TestIndexedBatchAPI:
         # streams stay plain zlib
         for s, e in zip(streams, datas):
             assert zlib.decompress(s) == e
+
+
+class TestDeviceCorpusDifferential:
+    def test_all_corpus_seeds_match_python(self):
+        """The device batch decoder must produce the same outcome (bytes or
+        error class) as the Python streaming oracle on every fuzz-corpus
+        seed — the device-side analogue of the native differential."""
+        import pathlib
+
+        from fdeflate_tpu.models.decompressor import _decompress_to_vec_python
+
+        corpus = sorted(
+            (pathlib.Path(__file__).parent / "fixtures" / "corpus").iterdir()
+        )
+        streams = [p.read_bytes() for p in corpus]
+        expected = []
+        for s in streams:
+            try:
+                expected.append(("ok", _decompress_to_vec_python(s, 1 << 20)))
+            except E.OutputTooLarge:
+                expected.append(("big", None))
+            except E.DecompressionError as e:
+                expected.append(("err", type(e).__name__))
+        results = decompress_batch(streams, max_steps=1024)
+        for path, exp, got in zip(corpus, expected, results):
+            if exp[0] == "ok":
+                assert isinstance(got, bytes) and got == exp[1], path.name
+            elif exp[0] == "err":
+                assert isinstance(got, E.DecompressionError), path.name
+                assert type(got).__name__ == exp[1], path.name
