@@ -478,19 +478,36 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
     litHT = rlh.T.astype(jnp.uint32)
     cntT = rc.T.astype(i32)
     row = jax.lax.broadcasted_iota(i32, (B, K), 0)
-    vals = jnp.zeros((B, ext), jnp.int32)
     drop = B * ext
-    for j in range(8):
-        has = j < cntT
-        src = litT if j < 4 else litHT
-        byte = ((src >> (8 * (j % 4))) & 0xFF).astype(jnp.int32)
-        tgt = jnp.where(has, row * ext + WINDOW + start + j, drop)
-        vals = (
-            vals.reshape(-1)
-            .at[tgt.reshape(-1)]
-            .add(jnp.where(has, byte, 0).reshape(-1), mode="drop")
-            .reshape(B, ext)
+
+    # Literal bytes scatter word-granular: a record's <=8 bytes (already
+    # packed into two u32s with zeros past cnt) shift to the byte offset
+    # within their first word and land with three scatter passes instead of
+    # eight byte passes; one elementwise unpack turns words back to bytes.
+    assert ext % 4 == 0
+    extw = ext // 4
+    dropw = B * extw
+    bytepos = WINDOW + start  # [B, K]
+    s = ((bytepos & 3) * 8).astype(jnp.uint32)
+    s_c = jnp.minimum(s, 31)
+
+    def rsh32(x, sh):  # x >> (32 - sh), 0 when sh == 0
+        return jnp.where(sh == 0, jnp.uint32(0), x >> (32 - jnp.minimum(sh, 31)))
+
+    w0c = (litT << s_c).astype(jnp.uint32)
+    w1c = rsh32(litT, s) | (litHT << s_c)
+    w2c = rsh32(litHT, s)
+    wordpos = row * extw + (bytepos >> 2)
+    words_st = jnp.zeros(B * extw, jnp.int32)
+    has = cntT > 0
+    for off, wc in ((0, w0c), (1, w1c), (2, w2c)):
+        tgt = jnp.where(has, wordpos + off, dropw)
+        words_st = words_st.at[tgt.reshape(-1)].add(
+            jnp.where(has, wc.astype(jnp.int32), 0).reshape(-1), mode="drop"
         )
+    words_st = words_st.reshape(B, extw, 1)
+    shifts = jnp.array([0, 8, 16, 24], jnp.int32).reshape(1, 1, 4)
+    vals = ((words_st >> shifts) & 0xFF).reshape(B, ext)
 
     # --- back-reference pointers ----------------------------------------
     # record id per output position: ones at record starts, cumsum.
