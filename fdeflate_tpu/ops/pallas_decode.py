@@ -35,17 +35,21 @@ _ERR_UNSUPPORTED = 100
 
 
 def _tables_np():
+    """Device copies of the decode tables as single int32 rows.
+
+    The first-symbol length packs into bits 10-13 of literal entries (bits
+    10-11 are unused there and bit 13 is the secondary flag, which literal
+    entries never set), so one integer row-dot yields the whole decision.
+    """
     from ..parallel.device_pipeline import _trained_tables
 
     litlen, _sec, dist, _dsec, first_len = _trained_tables()
-    lit_cols = np.zeros((4096, LANE), np.float32)
-    for j in range(4):
-        lit_cols[:, j] = (litlen[0] >> (8 * j)) & 0xFF
-    lit_cols[:, 4] = first_len[0]
-    dist_cols = np.zeros((512, LANE), np.float32)
-    for j in range(4):
-        dist_cols[:, j] = (dist[0] >> (8 * j)) & 0xFF
-    return lit_cols, dist_cols
+    lit = litlen[0].astype(np.int64)
+    is_lit = (lit & 0x8000) != 0
+    lit_dev = np.where(is_lit, lit | (first_len[0].astype(np.int64) << 10), lit)
+    lit_row = lit_dev.astype(np.uint32).view(np.int32).reshape(1, 4096)
+    dist_row = dist[0].view(np.int32).reshape(1, 512)
+    return lit_row, dist_row
 
 
 def _kernel(win_ref, bstart_ref, bstop_ref, lit_ref, dist_ref,
@@ -60,17 +64,10 @@ def _kernel(win_ref, bstart_ref, bstop_ref, lit_ref, dist_ref,
     sb = pl.program_id(1)
     num_sb = pl.num_programs(1)
 
-    # state rows: 0 = bit position, 1 = status, 2 = out bytes
-    @pl.when(sb == 0)
-    def _init():
-        state_ref[0, :] = bstart_ref[0, :]
-        state_ref[1, :] = jnp.zeros((LANE,), i32)
-        state_ref[2, :] = jnp.zeros((LANE,), i32)
-
     win = win_ref[0]              # [wwin, LANE] i32 (per-lane words)
     stop = bstop_ref[0, :]        # [LANE]
-    lit_cols = lit_ref[...]       # [4096, LANE] f32 (cols 0..4 used)
-    dist_cols = dist_ref[...]     # [512, LANE] f32
+    lit_row = lit_ref[...]        # [1, 4096] i32 (entry | first_len << 10)
+    dist_row = dist_ref[...]      # [1, 512] i32
 
     iota_w = jax.lax.broadcasted_iota(i32, (wwin, LANE), 0)
     iota_lit = jax.lax.broadcasted_iota(i32, (LANE, 4096), 1)
@@ -79,48 +76,61 @@ def _kernel(win_ref, bstart_ref, bstop_ref, lit_ref, dist_ref,
     def word_at(widx):
         """win[widx[lane], lane] via integer row-dot (no gather)."""
         sel = (iota_w == widx[None, :]).astype(i32)
-        return jnp.sum(sel * win, axis=0).astype(u32)
+        return jnp.sum(sel * win, axis=0)
 
-    # Column extraction via masked row-reduce: direct column slices of an
-    # MXU result miscompile on this Mosaic version (values verified exact
-    # when the full matrix is read back).
-    iota_col = jax.lax.broadcasted_iota(i32, (LANE, LANE), 1)
+    # state rows: 0 bit position, 1 status, 2 out bytes, 3 window base word,
+    # 4..6 carried words [base .. base+2] (96-bit window: all peeks are pure
+    # shifts; refills cost at most two row-dot selects per step).
+    @pl.when(sb == 0)
+    def _init():
+        bstart = bstart_ref[0, :]
+        base = bstart >> 5
+        state_ref[0, :] = bstart
+        state_ref[1, :] = jnp.zeros((LANE,), i32)
+        state_ref[2, :] = jnp.zeros((LANE,), i32)
+        state_ref[3, :] = base
+        state_ref[4, :] = word_at(base)
+        state_ref[5, :] = word_at(base + 1)
+        state_ref[6, :] = word_at(base + 2)
 
-    def col(v, j):
-        return jnp.sum(jnp.where(iota_col == j, v, 0), axis=1)
-
+    # Integer select-reduce lookup: exactly one row of the compare is hot,
+    # so the i32 sum of masked entries IS the entry — one pass, full width,
+    # no MXU and no byte splitting.
     def lit_lookup(idx):
-        oh = (iota_lit == idx[:, None]).astype(jnp.float32)
-        out = jnp.dot(oh, lit_cols, preferred_element_type=jnp.float32)
-        v = out.astype(i32)
-        entry = col(v, 0) | (col(v, 1) << 8) | (col(v, 2) << 16) | (col(v, 3) << 24)
-        return entry.astype(u32), col(v, 4)
+        sel = iota_lit == idx[:, None]            # [LANE, 4096]
+        e = jnp.sum(jnp.where(sel, lit_row, 0), axis=1)
+        fl = (e >> 10) & 0xF
+        return e.astype(u32), fl
 
     def dist_lookup(idx):
-        oh = (iota_dist == idx[:, None]).astype(jnp.float32)
-        out = jnp.dot(oh, dist_cols, preferred_element_type=jnp.float32)
-        v = out.astype(i32)
-        return (col(v, 0) | (col(v, 1) << 8) | (col(v, 2) << 16) | (col(v, 3) << 24)).astype(u32)
+        sel = iota_dist == idx[:, None]           # [LANE, 512]
+        return jnp.sum(jnp.where(sel, dist_row, 0), axis=1).astype(u32)
 
     def step(k, carry):
-        bpos, status, opos = carry
+        bpos, status, opos, base, w0, w1, w2 = carry
         running = status == 0
 
-        widx = bpos >> 5
-        sh = (bpos & 31).astype(u32)
-        w0 = word_at(widx)
-        w1 = word_at(widx + 1)
-        bits = (w0 >> sh) | jnp.where(
-            sh == 0, u32(0), w1 << (32 - sh).astype(u32)
-        )
+        def peek(off):
+            o = (bpos - (base << 5)) + off
+            sel_hi = o >= 32
+            a = jnp.where(sel_hi, w1, w0).astype(u32)
+            b = jnp.where(sel_hi, w2, w1).astype(u32)
+            oo = (o & 31).astype(u32)
+            return (a >> oo) | jnp.where(
+                oo == 0, u32(0), b << (32 - oo).astype(u32)
+            )
+
+        bits = peek(0)
 
         e, fl = lit_lookup((bits & 4095).astype(i32))
         code_bits = (e & 0xFF).astype(i32)
         is_lit = (e & 0x8000) != 0
         exceptional = (e & 0x4000) != 0
-        has_secondary = (e & 0x2000) != 0
+        # bit 13 carries part of the packed first_len on literal entries;
+        # it only means "secondary table" on non-literal ones.
+        has_secondary = ~is_lit & ((e & 0x2000) != 0)
 
-        cnt = ((e >> 8) & 0xF).astype(i32)
+        cnt = ((e >> 8) & 0x3).astype(i32)
         lit2b = ((e >> 16) & 0xFFFF).astype(u32)
         # Split a double literal whose second symbol starts at the stop.
         cross = is_lit & (bpos + code_bits > stop)
@@ -141,14 +151,7 @@ def _kernel(win_ref, bstart_ref, bstop_ref, lit_ref, dist_ref,
             rem & ((u32(1) << length_extra.astype(u32)) - 1)
         ).astype(i32)
 
-        dpos = bpos + code_bits + length_extra
-        dwidx = dpos >> 5
-        dsh = (dpos & 31).astype(u32)
-        dw0 = word_at(dwidx)
-        dw1 = word_at(dwidx + 1)
-        dbits = (dw0 >> dsh) | jnp.where(
-            dsh == 0, u32(0), dw1 << (32 - dsh).astype(u32)
-        )
+        dbits = peek(code_bits + length_extra)
         de = dist_lookup((dbits & 511).astype(i32))
         d_prim = (de & 0x8000) != 0
         d_code_bits = (de & 0xFF).astype(i32)
@@ -195,15 +198,24 @@ def _kernel(win_ref, bstart_ref, bstop_ref, lit_ref, dist_ref,
             status,
         )
         new_opos = opos + out_cnt + out_len
-        return new_bpos, new_status, new_opos
 
-    carry = (state_ref[0, :], state_ref[1, :], state_ref[2, :])
+        # Refill the carried window (consumed <= 39 bits -> at most 2 words).
+        for _ in range(2):
+            need = (new_bpos >> 5) > base
+            w0 = jnp.where(need, w1, w0)
+            w1 = jnp.where(need, w2, w1)
+            base = jnp.where(need, base + 1, base)
+            w2 = jnp.where(need, word_at(base + 2), w2)
+        return new_bpos, new_status, new_opos, base, w0, w1, w2
+
+    carry = (
+        state_ref[0, :], state_ref[1, :], state_ref[2, :], state_ref[3, :],
+        state_ref[4, :], state_ref[5, :], state_ref[6, :],
+    )
     for k in range(8):  # unrolled: record rows must be statically indexed
         carry = step(k, carry)
-    bpos, status, opos = carry
-    state_ref[0, :] = bpos
-    state_ref[1, :] = status
-    state_ref[2, :] = opos
+    for row in range(7):
+        state_ref[row, :] = carry[row]
 
     @pl.when(sb == num_sb - 1)
     def _finish():
@@ -267,7 +279,7 @@ def decode_ultrafast_pallas(
         ],
         out_specs=[rec_spec, rec_spec, rec_spec, rec_spec, fin_spec, fin_spec],
         out_shape=out_shape,
-        scratch_shapes=[pltpu.VMEM((3, LANE), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((7, LANE), jnp.int32)],
         interpret=interpret,
     )
     rl, rc, rn, rd, bpos, status = f(
