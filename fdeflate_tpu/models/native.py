@@ -16,6 +16,7 @@ from .. import errors as E
 
 _ROOT = pathlib.Path(__file__).resolve().parent.parent.parent
 _SRC = _ROOT / "native" / "fdeflate_native.cpp"
+_SRC2 = _ROOT / "native" / "deflate.cpp"
 _LIB = _ROOT / "native" / "libfdeflate_native.so"
 
 _lib = None
@@ -29,16 +30,17 @@ def _load():
     _tried = True
     if os.environ.get("FDEFLATE_TPU_NO_NATIVE"):
         return None
-    if not _LIB.exists() or (
-        _SRC.exists() and _SRC.stat().st_mtime > _LIB.stat().st_mtime
+    sources = [s for s in (_SRC, _SRC2) if s.exists()]
+    if not _LIB.exists() or any(
+        s.stat().st_mtime > _LIB.stat().st_mtime for s in sources
     ):
-        if not _SRC.exists():
+        if not sources:
             return None
         try:
             subprocess.run(
                 ["g++", "-O3", "-march=native", "-shared", "-fPIC",
-                 str(_SRC), "-o", str(_LIB)],
-                check=True, capture_output=True, timeout=120,
+                 *[str(s) for s in sources], "-o", str(_LIB)],
+                check=True, capture_output=True, timeout=180,
             )
         except Exception:
             return None
