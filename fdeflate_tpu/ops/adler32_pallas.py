@@ -14,7 +14,6 @@ The kernel runs in interpret mode on CPU (tests) and compiled on TPU.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 

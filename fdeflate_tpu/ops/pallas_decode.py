@@ -26,7 +26,6 @@ import functools
 
 import numpy as np
 
-from .. import errors as E
 
 LANE = 128
 _EOB = 1

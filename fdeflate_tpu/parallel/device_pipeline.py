@@ -26,7 +26,6 @@ import functools
 import numpy as np
 
 from ..huffman import build_table
-from ..models.ultrafast import STREAM_HEADER_BITS
 from ..ops import inflate as I
 from ..tables import (
     DEFAULT_DIST_TABLE_SIZE,
