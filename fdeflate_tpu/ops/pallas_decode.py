@@ -286,3 +286,101 @@ def decode_ultrafast_pallas(
         jnp.asarray(lit_cols), jnp.asarray(dist_cols),
     )
     return (rl, rc, rn, rd), (bpos.reshape(-1), status.reshape(-1))
+
+
+def decompress_batch_pallas(
+    streams: list[bytes], index: np.ndarray, max_steps: int | None = None
+) -> list[bytes]:
+    """Decode indexed ultra-fast streams through the Pallas kernel.
+
+    Host-facing sibling of parallel.device_pipeline.decompress_batch_indexed:
+    per-lane chunk windows extract on the host, the Mosaic kernel produces
+    records, and the shared vectorized materializer expands them.  Streams
+    the kernel's scope rejects fall back to the generic decoder.
+    """
+    import zlib
+
+    import jax.numpy as jnp
+
+    from ..parallel.device_pipeline import indexed_materialize
+    from ..ops import inflate as I
+
+    B = len(streams)
+    C = index.shape[1]
+    L = B * C
+    LB = -(-L // LANE)
+
+    # Per-lane windows, window-relative offsets.
+    lane_meta = []
+    max_span = 64
+    for si, s in enumerate(streams):
+        body_bits = (len(s) - 4) * 8
+        for k in range(C):
+            start = int(index[si, k])
+            stop = int(index[si, k + 1]) if k < C - 1 else body_bits
+            base = start >> 5
+            lane_meta.append((si, start, stop, base))
+            max_span = max(max_span, stop - base * 32)
+    wwin = 1 << int(np.ceil(np.log2(max_span // 32 + 4)))
+
+    win = np.zeros((LB, wwin, LANE), np.int32)
+    bstart = np.zeros((LB, LANE), np.int32)
+    bstop = np.zeros((LB, LANE), np.int32)
+    words_cache = {}
+    for lane, (si, start, stop, base) in enumerate(lane_meta):
+        if si not in words_cache:
+            body = streams[si][:-4]
+            words_cache[si] = np.frombuffer(
+                body + bytes((-len(body)) % 4) + bytes(8), "<u4"
+            ).view(np.int32)
+        seg = words_cache[si][base : base + wwin]
+        lb, c = divmod(lane, LANE)
+        win[lb, : len(seg), c] = seg
+        bstart[lb, c] = start - base * 32
+        bstop[lb, c] = stop - base * 32
+
+    if max_steps is None:
+        # A step consumes >= 1 symbol; chunk bytes bound the symbol count.
+        max_bytes = max(len(s) for s in streams)
+        max_steps = -(-max(512, max_bytes * 8 // max(C, 1) // 2) // 8) * 8
+
+    recs, (bpos, status) = decode_ultrafast_pallas(
+        jnp.asarray(win), jnp.asarray(bstart), jnp.asarray(bstop),
+        max_steps=max_steps,
+    )
+    rl = recs[0][:, :L]
+    rc = recs[1][:, :L]
+    rn = recs[2][:, :L]
+    rd = recs[3][:, :L]
+    zeros = jnp.zeros_like(rl)
+    status_l = jnp.asarray(status)[:L]
+
+    cap = 1 << int(
+        np.ceil(np.log2(max(max(len(s) for s in streams) * 8, 256)))
+    )
+    out, produced, ok = indexed_materialize(
+        (rl.astype(jnp.uint32), zeros.astype(jnp.uint32),
+         rc.astype(jnp.int8), rn, rd, zeros),
+        status_l,
+        None,
+        C,
+        out_capacity=cap,
+    )
+    out = np.asarray(out)
+    produced = np.asarray(produced)
+    ok = np.asarray(ok)
+
+    results = []
+    for i, s in enumerate(streams):
+        if ok[i]:
+            data = out[i, : produced[i]].tobytes()
+            if zlib.adler32(data) == int.from_bytes(s[-4:], "big"):
+                results.append(data)
+                continue
+        from ..ops.inflate import decompress_batch
+
+        r = decompress_batch([s])[0]
+        if isinstance(r, Exception):
+            raise r
+        results.append(r)
+    return results

@@ -376,3 +376,17 @@ class TestPallasDecodeKernel:
         assert np.array_equal(np.asarray(recs[3]), np.asarray(recs2[4])[:2048])
         bp_abs = np.asarray(bp) + np.array([bw * 32 for _, _, bw in info])
         assert np.array_equal(bp_abs, np.asarray(bp2))
+
+    def test_pallas_end_to_end_batch(self, rng):
+        from fdeflate_tpu.ops.pallas_decode import decompress_batch_pallas
+
+        datas = [
+            rng.choice([0, 0, 0, 9, 200], 5000).astype(np.uint8).tobytes(),
+            bytes(20000),
+            rng.integers(0, 256, 3000, dtype=np.uint8).tobytes(),
+            b"xy",
+        ]
+        streams, index = F.compress_batch_ultra_fast(datas, with_index=16)
+        back = decompress_batch_pallas(streams, index)
+        for r, e in zip(back, datas):
+            assert r == e
