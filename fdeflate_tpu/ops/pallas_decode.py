@@ -64,7 +64,7 @@ def _kernel(win_ref, bstart_ref, bstop_ref, lit_ref, dist_ref,
     num_sb = pl.num_programs(1)
 
     win = win_ref[0]              # [wwin, LANE] i32 (per-lane words)
-    stop = bstop_ref[0, :]        # [LANE]
+    stop = bstop_ref[0, 0, :]     # [LANE]
     lit_row = lit_ref[...]        # [1, 4096] i32 (entry | first_len << 10)
     dist_row = dist_ref[...]      # [1, 512] i32
 
@@ -82,7 +82,7 @@ def _kernel(win_ref, bstart_ref, bstop_ref, lit_ref, dist_ref,
     # shifts; refills cost at most two row-dot selects per step).
     @pl.when(sb == 0)
     def _init():
-        bstart = bstart_ref[0, :]
+        bstart = bstart_ref[0, 0, :]
         base = bstart >> 5
         state_ref[0, :] = bstart
         state_ref[1, :] = jnp.zeros((LANE,), i32)
@@ -218,8 +218,8 @@ def _kernel(win_ref, bstart_ref, bstop_ref, lit_ref, dist_ref,
 
     @pl.when(sb == num_sb - 1)
     def _finish():
-        bpos_out_ref[0, :] = state_ref[0, :]
-        status_out_ref[0, :] = state_ref[1, :]
+        bpos_out_ref[0, 0, :] = state_ref[0, :]
+        status_out_ref[0, 0, :] = state_ref[1, :]
 
 
 def decode_ultrafast_pallas(
@@ -254,14 +254,16 @@ def decode_ultrafast_pallas(
         jax.ShapeDtypeStruct((max_steps, LB * LANE), jnp.int32),  # rc
         jax.ShapeDtypeStruct((max_steps, LB * LANE), jnp.int32),  # rn
         jax.ShapeDtypeStruct((max_steps, LB * LANE), jnp.int32),  # rd
-        jax.ShapeDtypeStruct((LB, LANE), jnp.int32),              # bpos
-        jax.ShapeDtypeStruct((LB, LANE), jnp.int32),              # status
+        jax.ShapeDtypeStruct((LB, 8, LANE), jnp.int32),           # bpos
+        jax.ShapeDtypeStruct((LB, 8, LANE), jnp.int32),           # status
     ]
     rec_spec = pl.BlockSpec(
         (8, LANE), lambda lb, sb: (sb, lb), memory_space=pltpu.VMEM
     )
+    # Lane-length vectors ride in (1, 8, 128)-padded blocks: Mosaic requires
+    # the last two block dims divisible by (8, 128).
     fin_spec = pl.BlockSpec(
-        (1, LANE), lambda lb, sb: (lb, 0), memory_space=pltpu.VMEM
+        (1, 8, LANE), lambda lb, sb: (lb, 0, 0), memory_space=pltpu.VMEM
     )
     f = pl.pallas_call(
         kern,
@@ -269,10 +271,8 @@ def decode_ultrafast_pallas(
         in_specs=[
             pl.BlockSpec((1, wwin, LANE), lambda lb, sb: (lb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), lambda lb, sb: (lb, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANE), lambda lb, sb: (lb, 0),
-                         memory_space=pltpu.VMEM),
+            fin_spec,
+            fin_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
@@ -281,11 +281,17 @@ def decode_ultrafast_pallas(
         scratch_shapes=[pltpu.VMEM((7, LANE), jnp.int32)],
         interpret=interpret,
     )
+    def pad8(v):
+        out = jnp.zeros((LB, 8, LANE), jnp.int32)
+        return out.at[:, 0, :].set(v)
+
     rl, rc, rn, rd, bpos, status = f(
-        win, bit_start, bit_stop,
+        win, pad8(bit_start), pad8(bit_stop),
         jnp.asarray(lit_cols), jnp.asarray(dist_cols),
     )
-    return (rl, rc, rn, rd), (bpos.reshape(-1), status.reshape(-1))
+    return (rl, rc, rn, rd), (
+        bpos[:, 0, :].reshape(-1), status[:, 0, :].reshape(-1)
+    )
 
 
 def decompress_batch_pallas(
