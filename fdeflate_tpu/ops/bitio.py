@@ -8,9 +8,10 @@ packs them in parallel:
     positions = exclusive_prefix_sum(lengths)
     word[i]  |= value << (position mod 64)        (scatter-OR, disjoint bits)
 
-``pack_bits`` implements this with numpy on the host; the JAX twin lives in
-ops/bitpack.py and runs the same algorithm on device.  ``BitWriter`` is the
-streaming wrapper that carries sub-byte state across calls.
+``pack_bits`` implements this with numpy on the host; the device twin is the
+pair-combined segment-sum packer inside ops/ultrafast_kernel.py (same
+algorithm, jitted).  ``BitWriter`` is the streaming wrapper that carries
+sub-byte state across calls.
 """
 
 from __future__ import annotations

@@ -14,7 +14,7 @@ zlib + dynamic-block header is a compile-time constant prefix (429 bits); the
 host only appends the 4 checksum bytes after the (byte-aligned) EOF.
 
 The numpy implementation in models/ultrafast.py is the bit-exact oracle; see
-tests/test_device_encode.py.
+tests/test_device_codec.py.
 """
 
 from __future__ import annotations
