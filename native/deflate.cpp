@@ -241,8 +241,9 @@ static bool huffman_lengths(const uint32_t* freq, int n, int limit,
 
 // ---- block writer ---------------------------------------------------------
 
-static void write_block(Writer& w, const uint8_t* data,
-                        const std::vector<Sym>& syms, bool final_block) {
+static void count_and_build(const uint8_t* data, const std::vector<Sym>& syms,
+                            uint8_t* lens, uint16_t* codes, uint8_t* dlens,
+                            uint16_t* dcodes) {
   uint32_t freq[286] = {0};
   uint32_t dfreq[30] = {0};
   freq[256] = 1;
@@ -254,11 +255,124 @@ static void write_block(Writer& w, const uint8_t* data,
       dfreq[dist_sym(s.distance)]++;
     }
   }
-
-  uint8_t lens[286], dlens[30], cllens[19];
-  uint16_t codes[286], dcodes[30], clcodes[19];
   huffman_lengths(freq, 286, 15, lens, codes);
   huffman_lengths(dfreq, 30, 15, dlens, dcodes);
+}
+
+// Cost-aware backref demotion (twin of models/bitstream.py:_demote_unprofitable):
+// short matches whose literal encoding is cheaper — under a shadow
+// literals-only tree, plus a margin for the codespace the match symbols
+// consume — are rewritten as literal runs.  Keeps compressed size monotone
+// in the level on LZ-hostile inputs (SIZES.md).
+static const uint32_t kDemoteMaxLen = 32;
+static const int kDemoteMargin = 3;
+
+static bool demote_unprofitable(const uint8_t* data, std::vector<Sym>& syms,
+                                const uint8_t* lens, const uint8_t* dlens) {
+  uint32_t hist[256] = {0};
+  for (const Sym& s : syms) {
+    uint32_t lo = s.start;
+    uint32_t hi = s.end ? s.end : s.start + s.length;
+    for (uint32_t i = lo; i < hi; i++) hist[data[i]]++;
+  }
+  uint8_t slens[256];
+  uint16_t scodes[256];
+  huffman_lengths(hist, 256, 15, slens, scodes);
+  int cost[256];
+  for (int i = 0; i < 256; i++) cost[i] = slens[i] ? slens[i] : 15;
+
+  bool changed = false;
+  std::vector<Sym> out;
+  out.reserve(syms.size());
+  for (const Sym& s : syms) {
+    if (!s.end && s.length <= kDemoteMaxLen) {
+      int ls = g_len.sym[s.length];
+      int ds = dist_sym(s.distance);
+      int mb = lens[ls] + g_len.extra[s.length] + dlens[ds] + kDistExtra2[ds] +
+               kDemoteMargin;
+      long lb = 0;
+      for (uint32_t i = s.start; i < s.start + s.length; i++) lb += cost[data[i]];
+      if (lb < mb) {
+        changed = true;
+        if (!out.empty() && out.back().end == s.start) {
+          out.back().end = s.start + s.length;
+        } else {
+          out.push_back({s.start, s.start + s.length, 0, 0});
+        }
+        continue;
+      }
+    }
+    out.push_back(s);
+  }
+  if (changed) syms.swap(out);
+  return changed;
+}
+
+// Exact serialized bit size of a block under the given trees.
+static long long block_cost_bits(const uint8_t* data,
+                                 const std::vector<Sym>& syms,
+                                 const uint8_t* lens, const uint8_t* dlens) {
+  int nlit = 286;
+  while (nlit > 257 && lens[nlit - 1] == 0) nlit--;
+  int ndist = 30;
+  while (ndist > 1 && dlens[ndist - 1] == 0) ndist--;
+  uint32_t clfreq[19] = {0};
+  for (int i = 0; i < nlit; i++) clfreq[lens[i]]++;
+  for (int i = 0; i < ndist; i++) clfreq[dlens[i]]++;
+  uint8_t cllens[19];
+  uint16_t clcodes[19];
+  huffman_lengths(clfreq, 19, 7, cllens, clcodes);
+  long long bits = 3 + 5 + 5 + 4 + 3 * 19;
+  for (int i = 0; i < nlit; i++) bits += cllens[lens[i]];
+  for (int i = 0; i < ndist; i++) bits += cllens[dlens[i]];
+  for (const Sym& s : syms) {
+    if (s.end) {
+      for (uint32_t i = s.start; i < s.end; i++) bits += lens[data[i]];
+    } else {
+      int ds = dist_sym(s.distance);
+      bits += lens[g_len.sym[s.length]] + g_len.extra[s.length] + dlens[ds] +
+              kDistExtra2[ds];
+    }
+  }
+  return bits + lens[256];
+}
+
+static void write_block(Writer& w, const uint8_t* data, std::vector<Sym>& syms,
+                        bool final_block) {
+  uint8_t lens[286], dlens[30], cllens[19];
+  uint16_t codes[286], dcodes[30], clcodes[19];
+  count_and_build(data, syms, lens, codes, dlens, dcodes);
+  // Iterated demotion, keeping the exactly-cheapest candidate (the
+  // per-symbol cost model can over-fire; the whole-block measured size
+  // decides, so demotion never grows a block).
+  {
+    long long best_cost = block_cost_bits(data, syms, lens, dlens);
+    std::vector<Sym> best_syms = syms;
+    uint8_t blens[286], bdlens[30];
+    uint16_t bcodes[286], bdcodes[30];
+    std::memcpy(blens, lens, sizeof lens);
+    std::memcpy(bdlens, dlens, sizeof dlens);
+    std::memcpy(bcodes, codes, sizeof codes);
+    std::memcpy(bdcodes, dcodes, sizeof dcodes);
+    for (int pass = 0; pass < 3; pass++) {
+      if (!demote_unprofitable(data, syms, lens, dlens)) break;
+      count_and_build(data, syms, lens, codes, dlens, dcodes);
+      long long cost = block_cost_bits(data, syms, lens, dlens);
+      if (cost < best_cost) {
+        best_cost = cost;
+        best_syms = syms;
+        std::memcpy(blens, lens, sizeof lens);
+        std::memcpy(bdlens, dlens, sizeof dlens);
+        std::memcpy(bcodes, codes, sizeof codes);
+        std::memcpy(bdcodes, dcodes, sizeof dcodes);
+      }
+    }
+    syms.swap(best_syms);
+    std::memcpy(lens, blens, sizeof lens);
+    std::memcpy(dlens, bdlens, sizeof dlens);
+    std::memcpy(codes, bcodes, sizeof codes);
+    std::memcpy(dcodes, bdcodes, sizeof dcodes);
+  }
 
   int nlit = 286;
   while (nlit > 257 && lens[nlit - 1] == 0) nlit--;
@@ -517,7 +631,10 @@ struct Parser {
   void emit(const uint8_t* data, const MatchResult& m) {
     if (m.start > last_match)
       syms.push_back({static_cast<uint32_t>(last_match), m.start, 0, 0});
-    syms.push_back({0, 0, static_cast<uint16_t>(m.length),
+    // start carries the match position (end == 0 still marks a backref);
+    // the block writer's demotion pass needs it to price the literals.
+    syms.push_back({static_cast<uint32_t>(m.start), 0,
+                    static_cast<uint16_t>(m.length),
                     static_cast<uint16_t>(m.distance)});
     last_match = m.end();
   }

@@ -186,3 +186,53 @@ class TestWriterSinks:
         c.write_data(b"tail")
         assert c.finish() is buf
         assert zlib.decompress(buf.getvalue()) == bytes(5000) + b"tail"
+
+
+class TestSizeMonotonicity:
+    """Levels 4-7 must not compress worse than level 1 (VERDICT round 1:
+    the hybrid finder's min_match 4-5 accepted break-even matches on
+    LZ-hostile data, inverting the level ordering; the block writer's
+    demotion pass fixes this).  Also: with demotion disabled, write_block
+    reproduces the reference encoder's symbol choices — emitted sizes with
+    demotion ON must never exceed that emulated-fdeflate size."""
+
+    def _corpora(self):
+        rng = np.random.default_rng(7)
+        low = ((rng.integers(0, 16, 1 << 16, dtype=np.uint8) * 2) - 16).astype(
+            np.uint8
+        ).tobytes()
+        words = [b"the", b"quick", b"brown", b"fox", b"lazy", b"dogs"]
+        text = b" ".join(words[i] for i in rng.integers(0, 6, 8000))
+        mixed = low[: 1 << 15] + text[: 1 << 15]
+        return {"low": low, "text": text, "mixed": mixed}
+
+    @pytest.mark.parametrize("level", [4, 5, 6, 7])
+    def test_no_inversion_vs_level1(self, level):
+        from fdeflate_tpu.models.compressor import (
+            _compress_to_vec_with_level_python,
+        )
+
+        for name, data in self._corpora().items():
+            l1 = len(_compress_to_vec_with_level_python(data, 1))
+            ln = len(_compress_to_vec_with_level_python(data, level))
+            # Allow a whisker of slack: the per-symbol cost model cannot see
+            # every codespace externality (SIZES.md discusses the residual).
+            assert ln <= l1 * 1.005 + 64, (name, level, ln, l1)
+
+    @pytest.mark.parametrize("level", [1, 2, 3, 4, 5, 6, 7])
+    def test_size_le_emulated_fdeflate(self, level):
+        from fdeflate_tpu.models import bitstream
+        from fdeflate_tpu.models.compressor import (
+            _compress_to_vec_with_level_python,
+        )
+
+        for name, data in self._corpora().items():
+            ours = _compress_to_vec_with_level_python(data, level)
+            assert zlib.decompress(ours) == data
+            old = bitstream.ENABLE_DEMOTION
+            bitstream.ENABLE_DEMOTION = False
+            try:
+                ref = _compress_to_vec_with_level_python(data, level)
+            finally:
+                bitstream.ENABLE_DEMOTION = old
+            assert len(ours) <= len(ref), (name, level, len(ours), len(ref))
