@@ -357,12 +357,88 @@ def probe_skeleton(wwin=512, cells=128, unroll=8):
           f"({per_cell * 0.94e9 / unroll:.0f} cyc/step) -> {gbps:.2f} GB/s decode bound")
 
 
+# ---------------------------------------------------------------------------
+# P4b: plain 2-D transpose (tile-aligned) — is the 4-D form what's slow?
+# ---------------------------------------------------------------------------
+
+def probe_transpose2d(T=4096, L=1024):
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 31, (T, L)).astype(np.int32)
+    xd = jnp.asarray(x)
+
+    @jax.jit
+    def f(a):
+        return a.T
+
+    t = timeit(f, xd)
+    nbytes = x.size * 4
+    print(f"P4b transpose2d [{T},{L}] {nbytes/1e6:.0f} MB: {t*1e3:.2f} ms "
+          f"({nbytes/t/1e9:.2f} GB/s)")
+    y = np.asarray(f(xd))
+    print(f"P4b exact: {bool((y == x.T).all())}")
+
+
+# ---------------------------------------------------------------------------
+# P7: store-transposed out block — kernel writes (8,128) vreg into
+# out_ref[:, :, u] of an (8, 128, U) block, so HBM layout is lane-major.
+# ---------------------------------------------------------------------------
+
+def probe_store_transposed(U=64, cells=128):
+    rng = np.random.default_rng(0)
+    idx0 = rng.integers(0, 1 << 20, (8, 128)).astype(np.int32)
+
+    def kernel(idx_ref, out_ref, acc):
+        sb = pl.program_id(0)
+
+        @pl.when(sb == 0)
+        def _():
+            acc[...] = idx_ref[...]
+
+        x = acc[...]
+        for u in range(U):
+            x = x * 5 + 1
+            out_ref[:, :, u] = x
+        acc[...] = x
+
+    def run(ncells):
+        f = pl.pallas_call(
+            kernel,
+            grid=(ncells,),
+            in_specs=[
+                pl.BlockSpec((8, 128), lambda s: (0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 8, 128, U), lambda s: (s, 0, 0, 0), memory_space=pltpu.VMEM
+            ),
+            out_shape=jax.ShapeDtypeStruct((ncells, 8, 128, U), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((8, 128), jnp.int32)],
+        )
+        return jax.jit(lambda i: f(i))
+
+    out1 = np.asarray(run(1)(jnp.asarray(idx0)))[0]
+    x = idx0.copy()
+    ok = True
+    for u in range(U):
+        x = x * 5 + 1
+        ok &= bool((out1[:, :, u] == x).all())
+    print(f"P7 store-transposed exact: {ok}")
+
+    t_small = timeit(run(cells // 4), jnp.asarray(idx0))
+    t_big = timeit(run(cells), jnp.asarray(idx0))
+    per_cell = (t_big - t_small) / (cells - cells // 4)
+    per_store_ns = per_cell / U * 1e9
+    print(f"P7 store-transposed: {per_store_ns:.0f} ns/store/1024lanes "
+          f"({per_store_ns * 0.94:.0f} cycles)")
+
+
 ALL = {
     "p1": probe_mxu_lookup,
     "p2": probe_select_reduce,
     "p3": probe_word_fetch,
     "p4": probe_transpose,
+    "p4b": probe_transpose2d,
     "p5": probe_skeleton,
+    "p7": probe_store_transposed,
 }
 
 if __name__ == "__main__":

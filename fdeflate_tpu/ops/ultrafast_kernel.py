@@ -69,43 +69,24 @@ def _lut(table, idx, use_matmul: bool):
     return combined.reshape(idx.shape)
 
 
-def encode_ultrafast_batch(
-    data, lengths, lut_matmul: bool | None = None, num_chunks: int = 0
-):
-    """Encode ``B`` streams of padded length ``N``.
+def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0):
+    """Per-byte token assignment shared by the linear and blocked encoders.
 
-    Args:
-      data: uint8[B, N] — stream bytes, zero-padded past ``lengths``.
-      lengths: int32[B] — logical lengths.
-      lut_matmul: force the lookup strategy (None = matmul on TPU).
-      num_chunks: if > 0, additionally return a chunk index int32[B, C] of
-        exact symbol-boundary bit positions at ~N/C byte spacing.  The index
-        costs nothing extra (token positions are already computed) and lets
-        the chunked decoder start lanes at exact entries instead of relying
-        on Huffman self-synchronization — which fails on run-structured
-        streams, where misalignment in a sea of identical run tokens is
-        self-consistent and never re-syncs.
+    With ``split_S > 0``, zero-runs are additionally SPLIT at every
+    ``split_S``-byte input boundary (fixed output geometry): every chunk of
+    ``split_S`` decoded bytes then begins at an exact symbol boundary, so a
+    decode lane owns a statically-known output range.  Costs ~13 bits per
+    cut run.
 
-    Returns:
-      words:  uint32[B, W] — the complete zlib streams except the trailing
-              checksum, as little-endian u32 words (W = N words + slack).
-      total_bits: int32[B] — valid bits per stream (multiple of 8 after the
-              EOF+padding, i.e. the byte length is total_bits // 8).
-      adler: uint32[B] — per-stream Adler-32 of the payload.
+    Returns (v, nb, at_extra, aligned) — token values/bit counts per byte,
+    the extra-bits-token mask, and per-stream aligned lengths.
     """
     import jax
     import jax.numpy as jnp
 
-    from .adler32 import adler32_jax
-
     B, N = data.shape
     assert N % 8 == 0, "pad the byte buffer to a multiple of 8"
     i32 = jnp.int32
-    u32 = jnp.uint32
-    if lut_matmul is None:
-        lut_matmul = jax.default_backend() == "tpu" or (
-            jax.devices()[0].platform not in ("cpu",)
-        )
 
     # Fused lookup tables (one gather each instead of one per field):
     # lit_tab[b]   = code | len << 16               (literal byte b)
@@ -165,6 +146,13 @@ def encode_ultrafast_batch(
     seg_end = jax.lax.cummin(nxt[:, ::-1], axis=1)[:, ::-1]
     seg_end = jnp.minimum(seg_end, aligned[:, None])
 
+    if split_S:
+        # Fixed output geometry: clip every run segment at the chunk
+        # boundaries so no symbol spans a split_S-byte output boundary.
+        cstart = (idx // split_S) * split_S
+        seg_start = jnp.maximum(seg_start, cstart)
+        seg_end = jnp.minimum(seg_end, cstart + split_S)
+
     p = idx - seg_start
     q = p - 1
     run1 = seg_end - seg_start - 1
@@ -212,6 +200,51 @@ def encode_ultrafast_batch(
     nb = jnp.where(is_rem, lit_n, nb)
     nb = jnp.where(in_stream, nb, 0)
     v = jnp.where(nb > 0, v, 0)
+    return v, nb, at_extra, aligned
+
+
+def encode_ultrafast_batch(
+    data, lengths, lut_matmul: bool | None = None, num_chunks: int = 0,
+    fixed_geometry: bool = False,
+):
+    """Encode ``B`` streams of padded length ``N``.
+
+    Args:
+      data: uint8[B, N] — stream bytes, zero-padded past ``lengths``.
+      lengths: int32[B] — logical lengths.
+      lut_matmul: force the lookup strategy (None = matmul on TPU).
+      num_chunks: if > 0, additionally return a chunk index int32[B, C] of
+        exact symbol-boundary bit positions at ~N/C byte spacing.  The index
+        costs nothing extra (token positions are already computed) and lets
+        the chunked decoder start lanes at exact entries instead of relying
+        on Huffman self-synchronization — which fails on run-structured
+        streams, where misalignment in a sea of identical run tokens is
+        self-consistent and never re-syncs.
+      fixed_geometry: with ``num_chunks``, split runs at the N/num_chunks
+        output-byte boundaries so chunk k decodes EXACTLY N/C bytes starting
+        at byte k*N/C (see _assign_tokens); required by the fixed-geometry
+        Pallas decoder (ops/pallas_decode2.py).
+
+    Returns:
+      words:  uint32[B, W] — the complete zlib streams except the trailing
+              checksum, as little-endian u32 words (W = N words + slack).
+      total_bits: int32[B] — valid bits per stream (multiple of 8 after the
+              EOF+padding, i.e. the byte length is total_bits // 8).
+      adler: uint32[B] — per-stream Adler-32 of the payload.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, N = data.shape
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    if lut_matmul is None:
+        lut_matmul = jax.default_backend() == "tpu" or (
+            jax.devices()[0].platform not in ("cpu",)
+        )
+    split_S = N // num_chunks if (fixed_geometry and num_chunks) else 0
+    v, nb, at_extra, aligned = _assign_tokens(data, lengths, lut_matmul, split_S)
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
 
     # ---- bit packing -----------------------------------------------------
     cum = jnp.cumsum(nb, axis=1)
@@ -287,6 +320,111 @@ def encode_ultrafast_batch(
         return words, total_bits.astype(i32), adler, chunk_starts
 
     return words, total_bits.astype(i32), adler
+
+
+def blocked_wpad(S: int) -> int:
+    """Window words per lane for the blocked layout (worst-case chunk bits)."""
+    return (13 * S + 63) // 32 + 2
+
+
+def encode_ultrafast_blocked(data, lengths, num_chunks: int,
+                             lut_matmul: bool | None = None):
+    """Fixed-geometry, lane-blocked ultra-fast encode.
+
+    Splits every stream into ``C = num_chunks`` chunks of exactly ``S = N/C``
+    output bytes (runs are cut at the boundaries) and scatters each chunk's
+    payload bits into its own padded word window, laid out for the Pallas
+    decoder (ops/pallas_decode2.py): lane = stream*C + chunk, windows at
+    ``win[lane//1024, :, (lane//128) % 8, lane % 128]``.  The scatter is the
+    same segment-sum as the linear encoder — the blocked form costs nothing
+    extra to produce.
+
+    Returns:
+      win: int32[LB, wpad, 8, 128] — per-lane bit windows (bit 0 = chunk
+           start; no zlib header, no EOF: framing belongs to the linear
+           layout, see encode_ultrafast_batch).
+      chunk_bits: int32[B, C] — payload bits per chunk (decoder exit check).
+      adler: uint32[B] — per-stream Adler-32 of the payload.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    B, N = data.shape
+    C = num_chunks
+    assert N % C == 0, "N must divide into num_chunks"
+    S = N // C
+    assert S % 8 == 0, "chunk size must be a multiple of 8"
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    if lut_matmul is None:
+        lut_matmul = jax.default_backend() == "tpu" or (
+            jax.devices()[0].platform not in ("cpu",)
+        )
+
+    v, nb, at_extra, aligned = _assign_tokens(data, lengths, lut_matmul, S)
+
+    cum = jnp.cumsum(nb, axis=1)
+    tok_pos = cum - nb                       # [B, N] token start bits
+    eof_pos = cum[:, -1]
+
+    # Chunk start bits: with fixed geometry the token at byte c*S is always
+    # a symbol start when it exists; empty chunks fall back to stream end.
+    sym_start = (nb > 0) & ~at_extra
+    masked = jnp.where(sym_start, tok_pos, eof_pos[:, None])
+    suffix_min = jax.lax.cummin(masked[:, ::-1], axis=1)[:, ::-1]
+    chunk_starts = suffix_min[:, ::S]        # [B, C]
+    chunk_starts = chunk_starts.at[:, 0].set(0)
+    chunk_bits = (
+        jnp.concatenate([chunk_starts[:, 1:], eof_pos[:, None]], axis=1)
+        - chunk_starts
+    )
+
+    rel = tok_pos - jnp.repeat(chunk_starts, S, axis=1)  # chunk-relative bits
+
+    # Pair-combine (S is even, so pairs never straddle a chunk boundary).
+    v0 = v[:, 0::2].astype(u32)
+    v1 = v[:, 1::2].astype(u32)
+    n0 = nb[:, 0::2]
+    n1 = nb[:, 1::2]
+    vp = (v0 | (v1 << n0.astype(u32))).astype(u32)
+    npair = n0 + n1
+    rel_pair = rel[:, 0::2]
+
+    wpad = blocked_wpad(S)
+    LANE = 128
+    L = B * C
+    LB = -(-L // 1024)
+    wi = rel_pair >> 5
+    sh = (rel_pair & 31).astype(u32)
+    lo = (vp << sh).astype(u32)
+    hi = ((vp >> 1) >> (31 - sh).astype(u32)).astype(u32)
+    valid = npair > 0
+
+    Np = N // 2
+    brow = jax.lax.broadcasted_iota(i32, (B, Np), 0)
+    pcol = jax.lax.broadcasted_iota(i32, (B, Np), 1)
+    lane = brow * C + (pcol * 2) // S
+    lb = lane // 1024
+    sub = (lane // LANE) % 8
+    ln = lane % LANE
+    flat0 = ((lb * wpad + wi) * 8 + sub) * LANE + ln
+    total = LB * wpad * 8 * LANE
+    flat_lo = jnp.where(valid, flat0, total)
+    flat_hi = jnp.where(valid, flat0 + 8 * LANE, total)  # wi+1, same lane
+    win = jax.ops.segment_sum(
+        jnp.where(valid, lo.astype(i32), 0).reshape(-1),
+        flat_lo.reshape(-1),
+        num_segments=total + 1,
+    )
+    win = win + jax.ops.segment_sum(
+        jnp.where(valid, hi.astype(i32), 0).reshape(-1),
+        flat_hi.reshape(-1),
+        num_segments=total + 1,
+    )
+    win = win[:total].reshape(LB, wpad, 8, LANE)
+
+    adler = adler32_batch(data, lengths)
+    return win, chunk_bits.astype(i32), adler
 
 
 def adler32_batch(data, lengths):

@@ -1,0 +1,151 @@
+"""Fixed-geometry v2 decode pipeline tests (CPU / interpret mode).
+
+Covers the canonical-decode metadata, the fixed-geometry encoder split, the
+lane-blocked window layout, and the Pallas kernel end-to-end (interpret
+mode; hardware runs are exercised by bench/probe_decode2.py and bench.py).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import zlib
+
+from fdeflate_tpu.ops.pallas_decode2 import (
+    MAXL,
+    _bitrev12_np,
+    canonical_meta,
+    decode_blocked,
+    decode_chunk_np,
+)
+from fdeflate_tpu.ops.ultrafast_kernel import (
+    encode_ultrafast_batch,
+    encode_ultrafast_blocked,
+    finalize_streams,
+)
+from fdeflate_tpu.tables import HUFFMAN_CODES, HUFFMAN_LENGTHS
+
+
+def corpora(rng, B, N):
+    mixed = np.where(
+        rng.integers(0, 3, (B, N)) == 0, 0, rng.integers(0, 256, (B, N))
+    ).astype(np.uint8)
+    mixed[0, N // 8 : N // 2] = 0
+    return {
+        "mixed": mixed,
+        "zeros": np.zeros((B, N), np.uint8),
+        "random": rng.integers(0, 256, (B, N), dtype=np.uint8),
+        "idat": np.where(
+            rng.integers(0, 5, (B, N)) > 0, rng.integers(-8, 8, (B, N)), 0
+        ).astype(np.uint8),
+    }
+
+
+class TestCanonicalMeta:
+    def test_every_trained_code_decodes(self):
+        bounds, kvals, packed = canonical_meta()
+        for sym in range(286):
+            code = int(HUFFMAN_CODES[sym])
+            L0 = int(HUFFMAN_LENGTHS[sym])
+            for junk in (0, (1 << (12 - L0)) - 1):
+                r12 = _bitrev12_np(code | (junk << L0))
+                L = 1 + sum(r12 >= bounds[l] for l in range(1, MAXL))
+                assert L == L0, sym
+                idx = kvals[L] + (r12 >> (MAXL - L))
+                e = int(packed[idx])
+                cls = e >> 13
+                if sym < 256:
+                    assert cls == 0 and (e & 0x1FF) == sym
+                elif sym == 256:
+                    assert cls == 1
+                else:
+                    assert cls == 2
+
+
+class TestFixedGeometryEncode:
+    def test_linear_streams_stay_valid(self):
+        rng = np.random.default_rng(0)
+        for name, data in corpora(rng, 2, 4096).items():
+            lengths = jnp.asarray(np.full(2, 4096, np.int32))
+            w, tb, ad, idx = encode_ultrafast_batch(
+                jnp.asarray(data), lengths, lut_matmul=False,
+                num_chunks=8, fixed_geometry=True,
+            )
+            for s, row in zip(finalize_streams(w, tb, ad), data):
+                assert zlib.decompress(s) == row.tobytes(), name
+
+    def test_blocked_chunks_decode_exactly(self):
+        rng = np.random.default_rng(1)
+        B, N, C = 2, 4096, 8
+        S = N // C
+        for name, data in corpora(rng, B, N).items():
+            lengths = jnp.asarray(np.full(B, N, np.int32))
+            win, chunk_bits, adler = encode_ultrafast_blocked(
+                jnp.asarray(data), lengths, C, lut_matmul=False
+            )
+            win = np.asarray(win)
+            chunk_bits = np.asarray(chunk_bits)
+            for b in range(B):
+                for c in range(C):
+                    lane = b * C + c
+                    words = win[lane // 1024][:, (lane // 128) % 8, lane % 128]
+                    out, bits = decode_chunk_np(words, S)
+                    assert (out == data[b, c * S : (c + 1) * S]).all(), (name, b, c)
+                    assert bits == chunk_bits[b, c], (name, b, c)
+
+    def test_ragged_length_chunks(self):
+        # stream shorter than N: trailing chunks empty, mid chunk partial
+        rng = np.random.default_rng(2)
+        B, N, C = 1, 4096, 8
+        S = N // C
+        data = rng.integers(0, 256, (B, N), dtype=np.uint8)
+        ln = 2048 + 100
+        data[0, ln:] = 0
+        lengths = jnp.asarray(np.array([ln], np.int32))
+        win, chunk_bits, adler = encode_ultrafast_blocked(
+            jnp.asarray(data), lengths, C, lut_matmul=False
+        )
+        win = np.asarray(win)
+        # full chunks decode exactly
+        for c in range(ln // S):
+            words = win[0][:, (c // 128) % 8, c % 128]
+            out, _ = decode_chunk_np(words, S)
+            assert (out == data[0, c * S : (c + 1) * S]).all()
+
+
+class TestKernelInterpret:
+    @pytest.mark.parametrize("U", [16, 32])
+    def test_roundtrip(self, U):
+        rng = np.random.default_rng(3)
+        B, N, C = 2, 4096, 8
+        S = N // C
+        for name, data in corpora(rng, B, N).items():
+            lengths = jnp.asarray(np.full(B, N, np.int32))
+            win, chunk_bits, adler = encode_ultrafast_blocked(
+                jnp.asarray(data), lengths, C, lut_matmul=False
+            )
+            out, bpos = decode_blocked(win, T=S // 4, U=U, interpret=True)
+            L = B * C
+            decoded = (
+                np.asarray(out).reshape(-1, S // 4)[:L]
+                .astype("<i4").view(np.uint8).reshape(B, N)
+            )
+            bp = np.asarray(bpos).reshape(-1)[:L].reshape(B, C)
+            assert (decoded == data).all(), name
+            assert (bp == np.asarray(chunk_bits)).all(), name
+
+    def test_output_reshape_is_standard_layout(self):
+        """[LB, 8, 128, T] -> [B, N] bytes must be a pure reshape."""
+        rng = np.random.default_rng(4)
+        B, N, C = 1, 8192, 64  # 64 lanes
+        S = N // C
+        data = np.where(
+            rng.integers(0, 4, (B, N)) == 0, 0, rng.integers(0, 256, (B, N))
+        ).astype(np.uint8)
+        lengths = jnp.asarray(np.full(B, N, np.int32))
+        win, chunk_bits, adler = encode_ultrafast_blocked(
+            jnp.asarray(data), lengths, C, lut_matmul=False
+        )
+        out, _ = decode_blocked(win, T=S // 4, U=16, interpret=True)
+        flat = jnp.reshape(out, (-1, S // 4))[: B * C]
+        decoded = np.asarray(flat).astype("<i4").view(np.uint8).reshape(B, N)
+        assert (decoded == data).all()
