@@ -29,11 +29,7 @@ def run_case(dynamic: bool, cells=8, U=128):
         if dynamic:
             def body(u, x):
                 x = x * 5 + 1
-                pl.store(
-                    out_ref,
-                    (0, slice(None), slice(None), pl.dslice(u, 1)),
-                    x[:, :, None],
-                )
+                out_ref[0, :, :, pl.dslice(u, 1)] = x[:, :, None]
                 return x
             x = jax.lax.fori_loop(0, U, body, x)
         else:

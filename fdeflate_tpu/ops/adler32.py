@@ -37,6 +37,23 @@ def combine(a1: int, a2: int, len2: int) -> int:
     return ((s2 % MOD) << 16) | s1
 
 
+def combine_jax(a1, a2, len2):
+    """jnp twin of ``combine`` for on-device checksum folding (u32 scalars)."""
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    a1 = jnp.asarray(a1).astype(u32)
+    a2 = jnp.asarray(a2).astype(u32)
+    rem = (jnp.asarray(len2).astype(u32) % MOD)
+    s1a, s2a = a1 & 0xFFFF, (a1 >> 16) & 0xFFFF
+    s1b, s2b = a2 & 0xFFFF, (a2 >> 16) & 0xFFFF
+    s1 = (s1a + s1b + (MOD - 1)) % MOD
+    # rem * s1' < 65521^2 < 2^32: mod before adding the 16-bit terms.
+    cross = (rem * ((s1a + (MOD - 1)) % MOD)) % MOD
+    s2 = (s2a + s2b + cross) % MOD
+    return (s2 << 16) | s1
+
+
 def adler32_numpy(data: np.ndarray, value: int = 1) -> int:
     """Pure-numpy Adler-32 over a uint8 array (reference for the JAX path)."""
     data = np.asarray(data, dtype=np.uint8)

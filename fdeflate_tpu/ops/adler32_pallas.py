@@ -23,6 +23,11 @@ _LANES = 128
 _SUBLANES = 8
 _TILE = _LANES * _SUBLANES  # 1024 bytes per grid step; weighted sum < 2^31
 
+# Single-launch bound: tile partials fold with int32 sums.  Larger inputs
+# auto-chunk and fold with the associative combine.  Module-level so tests
+# can shrink it to exercise the fold without 32 MiB arrays.
+CHUNK_BYTES = 1 << 25
+
 
 def _tile_kernel(x_ref, sums_ref, wsums_ref):
     import jax
@@ -51,8 +56,18 @@ def adler32_pallas(data, length=None, interpret: bool | None = None):
         interpret = jax.default_backend() != "tpu"
 
     n = data.shape[0]
-    # Tile partials are folded with int32 sums: bound the tile count.
-    assert n <= (1 << 25), "chunk inputs above 32 MiB before checksumming"
+    if n > CHUNK_BYTES:
+        from .adler32 import combine_jax
+
+        if length is None:
+            length = n
+        total = None
+        for lo in range(0, n, CHUNK_BYTES):
+            piece = data[lo : lo + CHUNK_BYTES]
+            plen = jnp.clip(length - lo, 0, piece.shape[0])
+            ck = adler32_pallas(piece, plen, interpret=interpret)
+            total = ck if total is None else combine_jax(total, ck, plen)
+        return total
     if length is None:
         length = n
         d = data.astype(jnp.int32)

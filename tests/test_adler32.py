@@ -56,3 +56,57 @@ def test_jax_partial_combine():
     combined = (int(b) << 16) | int(a)
     assert combined == zlib.adler32(np.concatenate([x, y]).tobytes())
     assert int(n) == 15000
+
+
+class TestPallasAutoChunk:
+    """Inputs above the single-launch bound auto-chunk and fold with the
+    associative combine (VERDICT round 1, item 7).  CPU tests shrink
+    CHUNK_BYTES (interpret mode is per-tile Python); the real 32 MiB bound
+    is exercised on hardware by bench.py's checksum verification."""
+
+    def test_combine_jax_matches_host_combine(self):
+        import zlib
+
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.ops.adler32 import combine, combine_jax
+
+        rng = np.random.default_rng(0)
+        x = rng.integers(0, 256, 70000, dtype=np.uint8).tobytes()
+        y = rng.integers(0, 256, 131071, dtype=np.uint8).tobytes()
+        a1, a2 = zlib.adler32(x), zlib.adler32(y)
+        want = zlib.adler32(x + y)
+        assert combine(a1, a2, len(y)) == want
+        got = int(np.asarray(combine_jax(
+            jnp.uint32(a1), jnp.uint32(a2), jnp.int32(len(y)))))
+        assert got == want
+
+    @pytest.mark.parametrize("n", [65533, 65536, 65537, 200001])
+    def test_boundary_sizes_chunked(self, n, monkeypatch):
+        import zlib
+
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.ops import adler32_pallas as mod
+
+        monkeypatch.setattr(mod, "CHUNK_BYTES", 1 << 16)
+        rng = np.random.default_rng(1)
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        got = int(np.asarray(mod.adler32_pallas(jnp.asarray(data))))
+        assert got == zlib.adler32(data.tobytes()), n
+
+    def test_padded_length_masking_across_chunks(self, monkeypatch):
+        import zlib
+
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.ops import adler32_pallas as mod
+
+        monkeypatch.setattr(mod, "CHUNK_BYTES", 1 << 16)
+        n = (1 << 16) * 3 + 4096
+        ln = (1 << 16) * 2 + 100
+        rng = np.random.default_rng(2)
+        data = rng.integers(0, 256, n, dtype=np.uint8)
+        got = int(np.asarray(mod.adler32_pallas(
+            jnp.asarray(data), jnp.int32(ln))))
+        assert got == zlib.adler32(data[:ln].tobytes())
