@@ -14,6 +14,7 @@ sys.path.insert(0, "/root/repo")
 
 from fdeflate_tpu.ops.ultrafast_kernel import encode_ultrafast_blocked
 from fdeflate_tpu.ops.pallas_decode2 import decode_blocked
+from fdeflate_tpu.parallel.device_pipeline import fused_ultrafast_roundtrip_v2
 
 
 def make_idat(B, N, seed=0):
@@ -34,63 +35,69 @@ def make_idat(B, N, seed=0):
     return out[:, :N]
 
 
-def correctness(B=4, N=65536, C=128):
+def correctness(B=4, N=65536, C=128, U=32):
     S = N // C
     data = make_idat(B, N)
     data[0, 5000:20000] = 0
     lengths = jnp.asarray(np.full(B, N, np.int32))
     win, chunk_bits, adler = encode_ultrafast_blocked(jnp.asarray(data), lengths, C)
-    out, bpos = decode_blocked(win, T=S // 4, U=32, interpret=False)
-    out = np.asarray(out)
-    bpos = np.asarray(bpos)
+    out_sm, bpos = decode_blocked(win, T=S // 4, U=U, interpret=False,
+                                  lane_major=False)
+    # host-side corner turn for the byte comparison
+    out = np.asarray(out_sm)          # [LB, T, 8, 128]
     L = B * C
-    decoded = out.reshape(-1, S // 4)[:L].astype("<i4").view(np.uint8).reshape(B, N)
-    bp = bpos.reshape(-1)[:L].reshape(B, C)
+    lanes = np.transpose(out, (0, 2, 3, 1)).reshape(-1, S // 4)[:L]
+    decoded = lanes.astype("<i4").view(np.uint8).reshape(B, N)
+    bp = np.asarray(bpos).reshape(-1)[:L].reshape(B, C)
     ok_bytes = bool((decoded == data).all())
     ok_bpos = bool((bp == np.asarray(chunk_bits)).all())
     print(f"correctness B{B} N{N} C{C}: bytes={ok_bytes} bpos={ok_bpos}")
     return ok_bytes and ok_bpos
 
 
-def timing(B=16, N=1 << 20, C=512, U=64, repeats=4):
+def timing(B=16, N=1 << 20, C=512, U=32, repeats=4):
     S = N // C
-    T = S // 4
     data = make_idat(B, N)
     lengths = jnp.asarray(np.full(B, N, np.int32))
-
-    enc = jax.jit(lambda d, ln: encode_ultrafast_blocked(d, ln, C))
     d = jax.device_put(jnp.asarray(data))
-    win, chunk_bits, adler = enc(d, lengths)
-    jax.block_until_ready(win)
 
-    dec = jax.jit(
-        lambda w: decode_blocked(w, T=T, U=U, interpret=False)
-    )
+    enc = jax.jit(lambda dd, ln: encode_ultrafast_blocked(dd, ln, C))
 
     @jax.jit
-    def dec_scalar(w):
-        out, bpos = decode_blocked(w, T=T, U=U, interpret=False)
-        return jnp.sum(out), jnp.sum(bpos)
+    def enc_scalar(dd, ln):
+        win, cb, ad = encode_ultrafast_blocked(dd, ln, C)
+        return jnp.sum(win), jnp.sum(cb)
 
-    s, bp = dec_scalar(win)
-    _ = (int(s), int(bp))
+    r = enc_scalar(d, lengths); _ = int(np.asarray(r[0]))
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        r = dec_scalar(win)
-        _ = int(np.asarray(r[0]))
+        r = enc_scalar(d, lengths); _ = int(np.asarray(r[0]))
         ts.append(time.perf_counter() - t0)
-    t = min(ts)
-    print(f"decode {B}x{N>>20}MiB C={C} U={U}: {t*1e3:.1f} ms -> "
-          f"{B*N/t/1e9:.2f} GB/s")
+    t_enc = min(ts)
+    print(f"encode_blocked {B}x{N>>20}MiB C={C}: {t_enc*1e3:.1f} ms "
+          f"({B*N/t_enc/1e9:.2f} GB/s)")
 
-    # full verify on hardware once
-    out, bpos = dec(win)
-    L = B * C
-    decoded = np.asarray(out).reshape(-1, T)[:L].astype("<i4").view(np.uint8).reshape(B, N)
-    bp = np.asarray(bpos).reshape(-1)[:L].reshape(B, C)
-    print("hw verify:", bool((decoded == data).all()),
-          bool((bp == np.asarray(chunk_bits)).all()))
+    step = fused_ultrafast_roundtrip_v2(C, N, U=U)
+
+    @jax.jit
+    def fused_scalar(dd, ln):
+        out_sm, bpos_ok, ck_ok = step(dd, ln)
+        return (jnp.sum(bpos_ok.astype(jnp.int32)),
+                jnp.sum(ck_ok.astype(jnp.int32)), jnp.sum(out_sm))
+
+    r = fused_scalar(d, lengths)
+    bp_ok, ck_ok = int(np.asarray(r[0])), int(np.asarray(r[1]))
+    print(f"fused verify: bpos_ok {bp_ok}/{B} ck_ok {ck_ok}/{B}")
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        r = fused_scalar(d, lengths); _ = int(np.asarray(r[0]))
+        ts.append(time.perf_counter() - t0)
+    t_rt = min(ts)
+    t_dec = max(t_rt - t_enc, t_rt * 0.02)
+    print(f"fused roundtrip: {t_rt*1e3:.1f} ms -> decode+verify "
+          f"{t_dec*1e3:.1f} ms ({B*N/t_dec/1e9:.2f} GB/s)")
 
 
 if __name__ == "__main__":
@@ -99,5 +106,4 @@ if __name__ == "__main__":
     if "correct" in which:
         correctness()
     if "time" in which:
-        for U in (32, 64):
-            timing(U=U)
+        timing()

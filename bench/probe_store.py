@@ -79,9 +79,55 @@ def run_case(dynamic: bool, cells=8, U=128):
     print(f"p7-{tag}: {per_store:.0f} ns/store/1024lanes")
 
 
+def run_corner_turn(LB=4, T=512):
+    """p8: Pallas corner-turn [LB, T, 8, 128] -> [LB, 8, 128, T] via one
+    in-VMEM transpose per (1, 128, 8, 128) block."""
+    U = 128
+
+    def kernel(x_ref, out_ref):
+        x = x_ref[0]                      # [U, 8, 128]
+        out_ref[0] = jnp.transpose(x, (1, 2, 0))
+
+    def make(lb, t):
+        return jax.jit(pl.pallas_call(
+            kernel,
+            grid=(lb, t // U),
+            in_specs=[pl.BlockSpec((1, U, 8, 128), lambda i, j: (i, j, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 8, 128, U), lambda i, j: (i, 0, 0, j),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((lb, 8, 128, t), jnp.int32),
+        ))
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 1 << 31, (LB, T, 8, 128)).astype(np.int32)
+    t0 = time.perf_counter()
+    f = make(LB, T)
+    y = np.asarray(f(jnp.asarray(x)))
+    print(f"p8 corner-turn compile: {time.perf_counter()-t0:.1f}s")
+    ref = np.transpose(x, (0, 2, 3, 1))
+    print("p8 corner-turn exact:", bool((y == ref).all()))
+    xd = jnp.asarray(x)
+    jax.block_until_ready(f(xd))
+    ts = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        jax.block_until_ready(f(xd))
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+    nbytes = x.size * 4
+    print(f"p8 corner-turn {nbytes/1e6:.0f} MB: {t*1e3:.2f} ms "
+          f"({nbytes/t/1e9:.1f} GB/s)")
+
+
 if __name__ == "__main__":
     print("backend:", jax.default_backend())
     which = sys.argv[1:] or ["dyn", "static"]
+    if "p8" in which:
+        try:
+            run_corner_turn()
+        except Exception as e:
+            print("p8 FAILED:", type(e).__name__, str(e)[:300])
     if "dyn" in which:
         try:
             run_case(True)

@@ -159,7 +159,7 @@ def decode_chunk_np(words: np.ndarray, nbytes: int) -> tuple[np.ndarray, int]:
 
 
 def _kernel(win_ref, tab_ref, out_ref, bpos_ref, state, *,
-            wwin: int, U: int, bounds, kvals):
+            wwin: int, U: int, bounds, kvals, lane_major: bool):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -264,7 +264,10 @@ def _kernel(win_ref, tab_ref, out_ref, bpos_ref, state, *,
         run_rem = run_rem - take
 
         pos = pos + consumed
-        out_ref[0, :, :, u] = word.astype(i32)
+        if lane_major:
+            out_ref[0, :, :, u] = word.astype(i32)
+        else:
+            out_ref[0, u] = word.astype(i32)
 
         # Refill: valid streams consume <= 62 bits/step -> <= 2 new words.
         for _ in range(2):
@@ -283,16 +286,20 @@ def _kernel(win_ref, tab_ref, out_ref, bpos_ref, state, *,
         bpos_ref[0] = state[0]
 
 
-def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None):
+def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
+                   lane_major: bool | None = None):
     """Decode fixed-geometry lane-blocked streams.
 
     Args:
       win: i32[LB, wwin, 8, 128] per-lane bit windows (chunk bit 0 at word 0).
       T: output words per lane (chunk bytes / 4).
       U: steps per grid cell (T % U == 0).
+      lane_major: True -> out i32[LB, 8, 128, T] (reshapes to standard
+        [B, N] bytes with zero data movement; Mosaic requires U % 128 == 0).
+        False -> out i32[LB, T, 8, 128] (step-major; pair with corner_turn).
+        None -> lane-major when U % 128 == 0.
 
-    Returns (out i32[LB, 8, 128, T], bpos i32[LB, 8, 128]) — out reshapes to
-    lane-major bytes with no data movement; bpos is each lane's final bit
+    Returns (out, bpos i32[LB, 8, 128]) — bpos is each lane's final bit
     position (== the encoder's chunk_bits when the decode is exact).
     """
     import jax
@@ -302,15 +309,28 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None):
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if lane_major is None:
+        lane_major = U % 128 == 0
 
     LB, wwin, _, _ = win.shape
     assert T % U == 0
+    assert not lane_major or U % 128 == 0 or U == T, \
+        "lane-major out block needs U % 128 == 0 (Mosaic tiling)"
     SB = T // U
     bounds, kvals, packed = canonical_meta()
 
     kern = functools.partial(
-        _kernel, wwin=wwin, U=U, bounds=bounds, kvals=kvals
+        _kernel, wwin=wwin, U=U, bounds=bounds, kvals=kvals,
+        lane_major=lane_major,
     )
+    if lane_major:
+        out_spec = pl.BlockSpec((1, 8, LANE, U), lambda lb, sb: (lb, 0, 0, sb),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((LB, 8, LANE, T), jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((1, U, 8, LANE), lambda lb, sb: (lb, sb, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((LB, T, 8, LANE), jnp.int32)
     f = pl.pallas_call(
         kern,
         grid=(LB, SB),
@@ -320,13 +340,12 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None):
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, 8, LANE, U), lambda lb, sb: (lb, 0, 0, sb),
-                         memory_space=pltpu.VMEM),
+            out_spec,
             pl.BlockSpec((1, 8, LANE), lambda lb, sb: (lb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((LB, 8, LANE, T), jnp.int32),
+            out_shape,
             jax.ShapeDtypeStruct((LB, 8, LANE), jnp.int32),
         ],
         scratch_shapes=[pltpu.VMEM((8, 8, LANE), jnp.int32)],
@@ -334,3 +353,91 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None):
     )
     out, bpos = f(win, jnp.asarray(packed.reshape(1, _TAB_PAD)))
     return out, bpos
+
+
+def adler_step_major(out_sm, B: int, C: int, S: int, lengths=None):
+    """Per-stream Adler-32 straight from the kernel's step-major output.
+
+    ``out_sm`` is i32[LB, T, 8, 128] — word w of lane (lb, s, l) at
+    [lb, w, s, l].  The checksum needs only reductions over the T axis plus
+    an ordered fold over each stream's C lanes (associative combine), so no
+    transpose to byte order ever happens on device.
+
+    Magnitude: the per-lane weighted sum is bounded by S*255*4*T = 255*S^2,
+    which must stay below 2^31 -> S <= 2896.  Larger S splits the T axis.
+
+    Returns uint32[B] checksums (full streams; ``lengths`` masks ragged
+    tails when given — bytes past a stream's length must be zero, which the
+    zero-filled windows of empty chunks guarantee).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .adler32 import MOD
+
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    LB, T, _, _ = out_sm.shape
+    assert 255 * S * S < (1 << 31), "split the T axis for S > 2896"
+    w = out_sm
+    b0 = w & 255
+    b1 = (w >> 8) & 255
+    b2 = (w >> 16) & 255
+    b3 = (w >> 24) & 255
+    sw = b0 + b1 + b2 + b3                      # [LB, T, 8, 128]
+    jb = b1 + 2 * b2 + 3 * b3
+    s_lane = jnp.sum(sw, axis=1)                # [LB, 8, 128]
+    wt = (S - 4 * jnp.arange(T, dtype=i32))[None, :, None, None]
+    w_lane = jnp.sum(wt * sw - jb, axis=1)      # < 255*S^2 < 2^31
+
+    L = B * C
+    s_k = (s_lane.reshape(-1)[:L] % MOD).astype(u32).reshape(B, C)
+    w_k = (w_lane.reshape(-1)[:L] % MOD).astype(u32).reshape(B, C)
+
+    if lengths is None:
+        length = jnp.full((B,), C * S, i32)
+    else:
+        length = lengths.astype(i32)
+    offs = (jnp.arange(C, dtype=i32) * S)[None, :]
+    coeff = ((length[:, None] - offs - S) % MOD).astype(u32)
+    contrib = (coeff * s_k) % MOD               # 65520^2 < 2^32
+    a = (1 + jnp.sum(s_k, axis=1)) % MOD
+    b = (
+        length.astype(u32) % MOD
+        + jnp.sum((contrib + w_k) % MOD, axis=1)
+    ) % MOD
+    return (b << 16) | a
+
+
+def corner_turn(x, interpret: bool | None = None):
+    """[LB, T, 8, 128] -> [LB, 8, 128, T] via per-block in-VMEM transposes.
+
+    XLA's own lowering of this transpose runs at well under HBM bandwidth
+    (bench/probe_pallas2.py P4); one (128, 8, 128)-block Mosaic relayout per
+    grid cell keeps the shuffle on-chip.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    LB, T, _, _ = x.shape
+    U = 128
+    assert T % U == 0
+
+    def kernel(x_ref, out_ref):
+        out_ref[0] = jnp.transpose(x_ref[0], (1, 2, 0))
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(LB, T // U),
+        in_specs=[pl.BlockSpec((1, U, 8, LANE), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 8, LANE, U), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((LB, 8, LANE, T), jnp.int32),
+        interpret=interpret,
+    )
+    return f(x)

@@ -300,6 +300,48 @@ def decompress_batch_indexed(
     return results
 
 
+def fused_ultrafast_roundtrip_v2(C: int, N: int, U: int = 32):
+    """Round-2 fused pipeline: fixed-geometry encode -> canonical Pallas
+    decode -> checksum verify, one XLA program, scalars-only readback.
+
+    The encoder emits lane-blocked chunk windows (ops/ultrafast_kernel.
+    encode_ultrafast_blocked); the kernel (ops/pallas_decode2) decodes every
+    chunk to its statically-known S-byte output range; verification compares
+    each lane's exit bit position against the encoder's chunk_bits AND the
+    decoded Adler-32 (computed straight off the kernel's step-major layout)
+    against the encoder's.  No materialization phase, no transposes.
+
+    Returns fn(data u8[B, N], lengths i32[B]) ->
+      (out_sm i32[LB, T, 8, 128], bpos_ok bool[B], ck_ok bool[B]).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.pallas_decode2 import adler_step_major, decode_blocked
+    from ..ops.ultrafast_kernel import encode_ultrafast_blocked
+
+    assert N % C == 0
+    S = N // C
+    T = S // 4
+
+    def step(data, lengths):
+        B = data.shape[0]
+        win, chunk_bits, adler = encode_ultrafast_blocked(data, lengths, C)
+        out_sm, bpos = decode_blocked(win, T=T, U=U, lane_major=False)
+        L = B * C
+        bp = bpos.reshape(-1)[:L].reshape(B, C)
+        # Exit positions are meaningful only for fully-covered chunks; a
+        # partial tail lane pads with zero bits (which decode to the trained
+        # tree's zero literal, so the checksum still covers it exactly).
+        offs = jnp.arange(C, dtype=jnp.int32)[None, :] * S
+        full = offs + S <= lengths.astype(jnp.int32)[:, None]
+        bpos_ok = jnp.all((bp == chunk_bits) | ~full, axis=1)
+        ck = adler_step_major(out_sm, B, C, S, lengths)
+        ck_ok = ck == adler
+        return out_sm, bpos_ok, ck_ok
+
+    return step
+
+
 def fused_ultrafast_roundtrip(C: int, max_steps: int, N: int, chain: int = 4,
                               ptr_rounds: int | None = None,
                               lut_matmul: bool = False):

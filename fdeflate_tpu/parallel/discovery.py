@@ -1,0 +1,366 @@
+"""Foreign-stream block-boundary discovery + block-parallel decode (P2).
+
+Chunk-parallel decode of zlib streams that carry NO side-channel index — the
+rapidgzip approach (PAPERS.md): every bit offset is screened as a possible
+dynamic-block header, candidates are validated in two vectorized stages, the
+surviving (almost surely real) headers become decode-lane entry points, and a
+host chain-walk splices the lanes whose exits line up.  Huffman
+self-synchronization is never assumed (it fails on run-structured streams,
+PERF_NOTES.md) — only *structural header validation*, which false-positives
+at ~1e-5 per bit after stage 2.
+
+Stage 1 (numpy, vectorized over every bit offset): BTYPE==dynamic,
+HLIT/HDIST bounds, and an exact Kraft-completeness check of the 19-symbol
+code-length (CL) tree.  Measured pass rate ~0.1% of offsets.
+
+Stage 2 (numpy, vectorized over stage-1 survivors): fully decode the
+CL-coded lengths section with per-candidate canonical decode parameters,
+tracking litlen/dist Kraft sums incrementally; require litlen exactly
+complete with a nonzero end-of-block code, and the distance tree exactly
+complete or degenerate (<= 1 code, reference semantics src/huffman.rs:40-59).
+
+Chain decode: one device lane per surviving candidate (plus the known first
+block), each decoding until the next candidate offset; a lane whose symbols
+end in EOB hands off to the lane starting at its exit position.  Blocks the
+chain cannot cover (stored/fixed blocks, false boundaries, step-budget
+overruns) fall back to the sequential host/device path for the remainder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import errors as E
+from ..ops import inflate as I
+
+_MAXCL = 7  # CL codes are at most 7 bits
+
+
+def _fields(bits, offs, k, w):
+    v = np.zeros(len(offs), np.int32)
+    for j in range(w):
+        v |= bits[offs + k + j] << j
+    return v
+
+
+def scan_stage1(payload: bytes, min_tail_bits: int = 400) -> np.ndarray:
+    """Bit offsets passing the vectorized dynamic-header screen."""
+    bits = np.unpackbits(
+        np.frombuffer(payload, np.uint8), bitorder="little"
+    ).astype(np.int32)
+    n = len(bits)
+    if n <= min_tail_bits:
+        return np.zeros(0, np.int64)
+    offs = np.arange(0, n - min_tail_bits, dtype=np.int64)
+    cand = offs[(bits[offs + 1] == 0) & (bits[offs + 2] == 1)]
+    hlit = _fields(bits, cand, 3, 5)
+    hdist = _fields(bits, cand, 8, 5)
+    cand = cand[(hlit <= 29) & (hdist <= 29)]
+    ncl = _fields(bits, cand, 13, 4) + 4
+    kraft = np.zeros(len(cand), np.int64)
+    nz = np.zeros(len(cand), np.int32)
+    for j in range(19):
+        cl = _fields(bits, cand, 17 + 3 * j, 3)
+        use = (j < ncl) & (cl > 0)
+        kraft += np.where(use, 1 << (_MAXCL - cl), 0)
+        nz += use
+    return cand[(kraft == (1 << _MAXCL)) & (nz >= 2)]
+
+
+# DEFLATE order of code-length code lengths (RFC 1951 3.2.7).
+_CLCL = np.array(
+    [16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15],
+    np.int64,
+)
+
+
+def validate_stage2(payload: bytes, cands: np.ndarray, chunk: int = 65536):
+    """Decode each candidate's CL-coded lengths section; keep structurally
+    valid headers.  Returns (offsets, header_end_bits) — both int64 arrays,
+    sorted.  Vectorized over candidates in chunks."""
+    bits = np.unpackbits(
+        np.frombuffer(payload, np.uint8), bitorder="little"
+    ).astype(np.int32)
+    n = len(bits)
+    keep_off = []
+    keep_end = []
+    for lo in range(0, len(cands), chunk):
+        c = cands[lo : lo + chunk]
+        K = len(c)
+        if K == 0:
+            continue
+        hlit = _fields(bits, c, 3, 5).astype(np.int64) + 257
+        hdist = _fields(bits, c, 8, 5).astype(np.int64) + 1
+        ncl = _fields(bits, c, 13, 4).astype(np.int64) + 4
+        cl = np.zeros((K, 19), np.int64)  # indexed by symbol (0..18)
+        for j in range(19):
+            v = _fields(bits, c, 17 + 3 * j, 3)
+            sym = _CLCL[j]
+            cl[:, sym] = np.where(j < ncl, v, 0)
+
+        # Per-candidate canonical decode parameters for the CL tree.
+        cnt = np.zeros((K, _MAXCL + 1), np.int64)
+        for L in range(1, _MAXCL + 1):
+            cnt[:, L] = (cl == L).sum(axis=1)
+        first = np.zeros((K, _MAXCL + 1), np.int64)
+        code = np.zeros(K, np.int64)
+        bound = np.zeros((K, _MAXCL + 1), np.int64)
+        off = np.zeros((K, _MAXCL + 1), np.int64)
+        acc = np.zeros(K, np.int64)
+        for L in range(1, _MAXCL + 1):
+            first[:, L] = code
+            bound[:, L] = (code + cnt[:, L]) << (_MAXCL - L)
+            off[:, L] = acc
+            acc += cnt[:, L]
+            code = (code + cnt[:, L]) << 1
+        kval = off - first
+        order = np.argsort(
+            np.where(cl > 0, cl, 99) * 32 + np.arange(19)[None, :],
+            axis=1, kind="stable",
+        )  # symbols sorted by (length, symbol); unused symbols last
+
+        rev7 = np.array(
+            [int(format(x, "07b")[::-1], 2) for x in range(128)], np.int64
+        )
+
+        pos = c.astype(np.int64) + 17 + 3 * ncl
+        total = hlit + hdist
+        written = np.zeros(K, np.int64)
+        prev = np.zeros(K, np.int64)
+        kraft_l = np.zeros(K, np.int64)
+        kraft_d = np.zeros(K, np.int64)
+        nz_d = np.zeros(K, np.int64)
+        len256 = np.zeros(K, np.int64)
+        bad = np.zeros(K, bool)
+
+        def add_lengths(value, start, count):
+            """Accumulate Kraft/bookkeeping for `count` slots of `value`."""
+            nonlocal kraft_l, kraft_d, nz_d, len256
+            l_cnt = np.clip(np.minimum(start + count, hlit) - start, 0, None)
+            d_cnt = count - l_cnt
+            nzv = value > 0
+            kl = np.where(nzv, (1 << (15 - value)) * l_cnt, 0)
+            kd = np.where(nzv, (1 << (15 - value)) * d_cnt, 0)
+            kraft_l += kl
+            kraft_d += kd
+            nz_d += np.where(nzv, d_cnt, 0)
+            hit256 = (start <= 256) & (256 < start + count) & (hlit > 256)
+            len256 = np.where(hit256, value, len256)
+
+        for _step in range(320):
+            live = ~bad & (written < total)
+            if not live.any():
+                break
+            p = np.where(live, pos, 0)
+            v7 = np.zeros(K, np.int64)
+            for j in range(7):
+                idx = p + j
+                v7 |= np.where(idx < n, bits[np.minimum(idx, n - 1)], 0) << j
+            r7 = rev7[v7]
+            L = np.ones(K, np.int64)
+            for l in range(1, _MAXCL):
+                L += (r7 >= bound[:, l]) & (bound[:, l] < (1 << _MAXCL))
+            # bound rows are monotone; cap by lengths that exist
+            idx = np.take_along_axis(kval, L[:, None], 1)[:, 0] + (
+                r7 >> (_MAXCL - L)
+            )
+            idx_ok = (idx >= 0) & (idx < 19)
+            sym = np.take_along_axis(
+                order, np.clip(idx, 0, 18)[:, None], 1
+            )[:, 0]
+            slen = np.take_along_axis(cl, sym[:, None], 1)[:, 0]
+            valid = idx_ok & (slen == L)
+            bad |= live & ~valid
+
+            is_plain = sym <= 15
+            base = np.where(sym == 16, 3, np.where(sym == 17, 3, 11))
+            ebits = np.where(sym == 16, 2, np.where(sym == 17, 3, 7))
+            ev = np.zeros(K, np.int64)
+            for j in range(7):
+                idx2 = p + L + j
+                ev |= np.where(
+                    (j < ebits) & (idx2 < n), bits[np.minimum(idx2, n - 1)], 0
+                ) << j
+            rep = np.where(is_plain, 1, base + ev)
+            value = np.where(is_plain, sym, np.where(sym == 16, prev, 0))
+            bad |= live & (sym == 16) & (written == 0)
+            bad |= live & (written + rep > total)
+
+            act = live & ~bad
+            add_lengths(
+                np.where(act, value, 0),
+                np.where(act, written, 0),
+                np.where(act, rep, 0),
+            )
+            prev = np.where(act & is_plain, sym, prev)
+            written = np.where(act, written + rep, written)
+            pos = np.where(act, pos + L + np.where(is_plain, 0, ebits), pos)
+            bad |= live & (pos + 7 >= n)
+
+        done = ~bad & (written == total)
+        good = (
+            done
+            & (kraft_l == (1 << 15))
+            & (len256 > 0)
+            & ((kraft_d == (1 << 15)) | (nz_d <= 1))
+        )
+        keep_off.append(c[good])
+        keep_end.append(pos[good])
+    if not keep_off:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    return np.concatenate(keep_off), np.concatenate(keep_end)
+
+
+def find_block_boundaries(payload: bytes):
+    """Full scan: (offsets, header_end_bits) of validated dynamic headers."""
+    c1 = scan_stage1(payload)
+    return validate_stage2(payload, c1)
+
+
+def decompress_foreign(data: bytes, max_steps: int = 6144) -> bytes:
+    """Block-parallel decode of a foreign (un-indexed) zlib stream.
+
+    Discovers dynamic-block headers structurally, decodes every candidate
+    block in its own device lane until end-of-block, then chain-walks on the
+    host: block k is confirmed when its EOB exit is exactly the next
+    confirmed header's offset.  Any break in the chain (stored/fixed blocks,
+    a block larger than the step budget, a false boundary) falls back to the
+    sequential path for the whole stream — correctness never depends on the
+    discovery.  The final Adler-32 is always verified.
+    """
+    import zlib
+
+    import jax
+    import jax.numpy as jnp
+
+    def fallback() -> bytes:
+        r = I.decompress_batch([data], max_steps=max_steps)[0]
+        if isinstance(r, E.DecompressionError):
+            raise r
+        return r
+
+    # zlib framing: 2-byte header; first block header starts at bit 16.
+    if len(data) < 7:
+        return fallback()
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 0x08 or ((cmf << 8) | flg) % 31 != 0 or flg & 0x20:
+        raise E.BadZlibHeader()
+
+    offsets, _hdr_ends = find_block_boundaries(data)
+    if len(offsets) == 0 or offsets[0] != 16:
+        if 16 not in set(offsets.tolist()):
+            return fallback()  # first block not dynamic (stored/fixed)
+
+    # Host: parse each candidate's header -> tables + symbol-start bit.
+    lanes = []
+    for off in offsets.tolist():
+        r = I._HostBitReader(data, off)
+        bfinal = r.take(1)
+        btype = r.take(2)
+        if btype != 0b10:
+            continue
+        try:
+            tables = I._parse_dynamic_header(r)
+        except E.DecompressionError:
+            continue
+        lanes.append((off, bool(bfinal), r.pos, tables))
+    if not lanes or lanes[0][0] != 16:
+        return fallback()
+
+    L = len(lanes)
+    Wmax = (len(data) + 3) // 4 + 2
+    words_np = np.zeros((1, Wmax), np.uint32)
+    padded = data + bytes((-len(data)) % 4) + bytes(8)
+    words_np[0, : len(padded) // 4] = np.frombuffer(padded, "<u4")
+
+    # Stack tables (blocks rarely share trees; no dedup needed).
+    sec_max = max(max(len(t[3][1]) for t in lanes), 1)
+    dsec_max = max(max(len(t[3][3]) for t in lanes), 1)
+    from ..tables import DEFAULT_DIST_TABLE_SIZE, DEFAULT_LITLEN_TABLE_SIZE
+
+    litlen_np = np.zeros((L, DEFAULT_LITLEN_TABLE_SIZE), np.uint32)
+    sec_np = np.zeros((L, sec_max), np.uint32)
+    dist_np = np.zeros((L, DEFAULT_DIST_TABLE_SIZE), np.uint32)
+    dsec_np = np.zeros((L, dsec_max), np.uint32)
+    starts = np.zeros(L, np.int32)
+    for i, (off, bfinal, sym_start, (ll, ls, dd, ds)) in enumerate(lanes):
+        litlen_np[i] = ll
+        sec_np[i, : len(ls)] = ls
+        dist_np[i] = dd
+        dsec_np[i, : len(ds)] = ds
+        starts[i] = sym_start
+
+    bit_end = np.int32(len(data) * 8)
+    records, (bpos, opos, status) = I.decode_symbols(
+        jnp.asarray(words_np),
+        jnp.asarray(starts),
+        jnp.full((L,), bit_end, jnp.int32),
+        jnp.full((L,), 1 << 30, jnp.int32),
+        jnp.ones((L,), bool),
+        jnp.arange(L, dtype=jnp.int32),
+        jnp.asarray(litlen_np),
+        jnp.asarray(sec_np),
+        jnp.asarray(dist_np),
+        jnp.asarray(dsec_np),
+        max_steps=max_steps,
+        chain=4,
+        stream_row=jnp.zeros((L,), jnp.int32),
+    )
+    bpos_np = np.asarray(bpos)
+    status_np = np.asarray(status)
+
+    # Chain walk: confirm blocks whose EOB exit is the next header's start.
+    by_off = {off: i for i, (off, _, _, _) in enumerate(lanes)}
+    chain: list[int] = []
+    cur = 16
+    final_exit = None
+    while True:
+        i = by_off.get(cur)
+        if i is None or status_np[i] != I._EOB:
+            return fallback()
+        chain.append(i)
+        if lanes[i][1]:  # BFINAL
+            final_exit = int(bpos_np[i])
+            break
+        cur = int(bpos_np[i])
+
+    # Stitch: mask non-chain lanes inert, keep lane order (offsets sorted),
+    # rearrange [K, L] -> [L*K, 1] and materialize once.
+    K = records[0].shape[0]
+    mask_np = np.zeros(L, bool)
+    mask_np[chain] = True
+    mask = jnp.asarray(mask_np)[None, :]
+
+    rl, rlh, rc, rn, rd, rp = records
+    rl = jnp.where(mask, rl, 0)
+    rlh = jnp.where(mask, rlh, 0)
+    rc = jnp.where(mask, rc, 0)
+    rn = jnp.where(mask, rn, 0)
+    rd = jnp.where(mask, rd, 0)
+
+    def rearrange(a):
+        return a.T.reshape(L * K, 1)
+
+    rl2, rlh2, rc2, rn2, rd2 = map(rearrange, (rl, rlh, rc, rn, rd))
+    adv = rc2.astype(jnp.int32) + rn2
+    pos = jnp.cumsum(adv, axis=0) - adv
+    bad_dist = bool(np.asarray(jnp.any((rd2 > 0) & (rd2 > pos))))
+    if bad_dist:
+        return fallback()
+    produced = int(np.asarray(jnp.sum(adv)))
+
+    cap = 1 << int(np.ceil(np.log2(max(produced, 256))))
+    out, _ = I.materialize(
+        (rl2, rlh2, rc2, rn2, rd2),
+        jnp.zeros((1, I.WINDOW), jnp.uint8),
+        jnp.asarray([produced], jnp.int32),
+        out_capacity=cap,
+    )
+    result = np.asarray(out)[0, :produced].tobytes()
+
+    # Trailer: byte-align after the final block, 4 bytes big-endian.
+    tb = (final_exit + 7) & ~7
+    stored = int.from_bytes(data[tb // 8 : tb // 8 + 4], "big")
+    if stored != zlib.adler32(result):
+        return fallback()  # chain was structurally plausible but wrong
+    return result
