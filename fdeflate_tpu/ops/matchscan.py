@@ -1,0 +1,680 @@
+"""TPU LZ77 match finding + device dynamic-block encode (no pointer chasing).
+
+The reference finds matches by chasing per-bucket linked lists
+(src/compress/matchfinder/hashchain.rs:69-96) — a serial, latency-bound
+design.  The TPU reformulation (SURVEY section 7, hard part 3) hashes EVERY
+position at once and turns "previous occurrences of my 4-byte prefix" into a
+sorted-neighborhood problem:
+
+ 1. key[i] = hash12(bytes[i..i+4]) << 20 | i  — one int32 per position;
+    jnp.sort along the stream puts equal-hash positions adjacent, position-
+    ascending.  Candidate j for position i = the sorted predecessor(s).
+ 2. Verified, capped extension: unaligned 4-byte words W[i] compare for
+    both sides (gathers), lengths accumulate while all previous words
+    matched (cap _EXT bytes).
+ 3. Greedy tiling exactly like a serial greedy parser would — via pointer
+    doubling on next[i] = i + max(len[i], 1): the visited set from position
+    0 computes in log2(N) scatter/gather rounds, no sequential walk.
+ 4. Adjacent accepted matches with the same distance MERGE (a zero run is
+    a chain of dist-1 matches; periodic data a chain of dist-p matches), so
+    the capped extension still yields full-length (<= 258) backrefs.
+ 5. Symbols pack with the ultrafast packer's machinery: per-byte token
+    assignment, prefix-sum bit positions, pair-combined segment-sum scatter.
+    Backrefs spread over four 1-byte slots (len code / len extra / dist
+    code / dist extra, each <= 15+13 bits) so pair packing stays within u32.
+
+Huffman trees are built on the host from device-computed frequencies (a
+[B, 316] readback); codes upload as small tables.  One dynamic block per
+stream (DEFLATE does not bound block symbol counts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..tables import (
+    DIST_SYM_TO_DIST_BASE,
+    DIST_SYM_TO_DIST_EXTRA,
+    DISTANCE_TO_SYM,
+    LENGTH_TO_LEN_EXTRA,
+    LENGTH_TO_SYMBOL,
+)
+
+_EXT = 32          # capped per-candidate extension (merging recovers runs)
+_HBITS = 12        # sort-key hash bits; leaves 20 bits of position (N < 1M)
+_WINDOW = 32768
+
+
+def _hash12(w32):
+    import jax.numpy as jnp
+
+    h = (w32.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> jnp.uint32(20)
+    return h.astype(jnp.int32)
+
+
+def find_matches(data, lengths, depth: int = 2, min_match: int = 4,
+                 hash_bytes: int = 4, cost_filter: bool = True):
+    """Per-position verified match (length, distance), capped at _EXT bytes.
+
+    data: u8[B, N] (N < 2^20); lengths: i32[B].
+    Returns (mlen i32[B, N], mdist i32[B, N]) — zero length = no match.
+    ``hash_bytes=8`` groups on an 8-byte prefix (fewer collisions; finds the
+    long matches a 4-byte bucket's nearest predecessors miss).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    B, N = data.shape
+    assert N < (1 << 20)
+    d = data.astype(i32)
+
+    # Unaligned 4-byte little-endian words at every byte offset.
+    def sh(k):
+        return jnp.concatenate([d[:, k:], jnp.zeros((B, k), i32)], axis=1)
+
+    W = d | (sh(1) << 8) | (sh(2) << 16) | (sh(3) << 24)
+
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
+    valid = idx + min_match <= lengths[:, None]
+    if hash_bytes == 8:
+        W2 = jnp.concatenate([W[:, 4:], jnp.zeros((B, 4), i32)], axis=1)
+        hsrc = W ^ (W2 * jnp.int32(0x01000193))
+    else:
+        hsrc = W
+    key = jnp.where(
+        valid,
+        (_hash12(hsrc) << 20) | idx,
+        (jnp.int32(1) << 31) - 1 - (N - idx),
+    )
+    s = jnp.sort(key, axis=1)
+    spos = s & ((1 << 20) - 1)
+    shash = s >> 20
+
+    best_len = jnp.zeros((B, N), i32)
+    best_dist = jnp.zeros((B, N), i32)
+    for k in range(1, depth + 1):
+        cand = jnp.concatenate(
+            [jnp.zeros((B, k), i32), spos[:, :-k]], axis=1
+        )
+        same = jnp.concatenate(
+            [jnp.zeros((B, k), bool), shash[:, k:] == shash[:, :-k]], axis=1
+        )
+        pos = spos
+        dist = pos - cand
+        ok = same & (dist > 0) & (dist <= _WINDOW)
+
+        # verified extension: words at pos+4j vs cand+4j
+        ln = jnp.zeros((B, N), i32)
+        alive = ok
+        for j in range(0, _EXT, 4):
+            a = jnp.take_along_axis(W, jnp.minimum(pos + j, N - 1), axis=1)
+            b = jnp.take_along_axis(W, jnp.minimum(cand + j, N - 1), axis=1)
+            x = a ^ b
+            tzb = jnp.where(
+                x == 0, 4,
+                jnp.where(x & 0xFF, 0,
+                          jnp.where(x & 0xFF00, 1,
+                                    jnp.where(x & 0xFF0000, 2, 3))),
+            )
+            ln = ln + jnp.where(alive, tzb, 0)
+            alive = alive & (x == 0)
+        ln = jnp.minimum(ln, lengths[:, None] - pos)  # clamp at stream tail
+        ln = jnp.where(ok & (ln >= min_match), ln, 0)
+
+        # Profitability filter (device twin of the block writer's demotion
+        # pass): a short match at a far distance costs more bits than its
+        # literals.  Estimated match cost 13 + dist-extra bits vs ~5 bits
+        # per literal byte.
+        if cost_filter:
+            dext = jnp.asarray(DIST_SYM_TO_DIST_EXTRA.astype(np.int32))[
+                jnp.asarray(DISTANCE_TO_SYM.astype(np.int32))[
+                    jnp.clip(dist - 1, 0, _WINDOW - 1)
+                ]
+            ]
+            ln = jnp.where(13 + dext <= 5 * ln, ln, 0)
+
+        # Scatter back to position order, keeping the best candidate:
+        # pack (len << 16 | WINDOW - dist) so max() prefers longer, then
+        # nearer. ln <= _EXT and dist <= WINDOW keep this within int32.
+        rows = jax.lax.broadcasted_iota(i32, (B, N), 0)
+        flat = (rows * N + pos).reshape(-1)
+        packed = jnp.where(ln > 0, (ln << 16) | (_WINDOW - dist), 0)
+        pmax = jnp.zeros(B * N, i32).at[flat].max(
+            packed.reshape(-1)
+        ).reshape(B, N)
+        cand_len = pmax >> 16
+        cand_dist = _WINDOW - (pmax & 0xFFFF)
+        better = cand_len > best_len
+        best_len = jnp.where(better, cand_len, best_len)
+        best_dist = jnp.where(better, cand_dist, best_dist)
+
+    return best_len, best_dist
+
+
+def greedy_tile(mlen, mdist, lengths, min_match: int = 4):
+    """Greedy non-overlapping symbol tiling via pointer doubling.
+
+    Returns (sym_start bool[B, N], is_match bool[B, N]) — exactly the set a
+    serial greedy walk from position 0 would accept.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    B, N = mlen.shape
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
+    use = mlen >= min_match
+    nxt = jnp.where(use, idx + mlen, idx + 1)
+    nxt = jnp.minimum(nxt, N)
+
+    visited = (idx == 0)
+    jump = jnp.concatenate([nxt, jnp.full((B, 1), N, i32)], axis=1)  # [B,N+1]
+    rows = jax.lax.broadcasted_iota(i32, (B, N + 1), 0)
+    steps = int(np.ceil(np.log2(max(N, 2))))
+    vis = jnp.concatenate([visited, jnp.zeros((B, 1), bool)], axis=1)
+    for _ in range(steps):
+        # propagate: every visited position marks its 2^k-jump target, then
+        # the jump table squares
+        flat = (rows * (N + 1) + jump).reshape(-1)
+        vis = vis | jnp.zeros(B * (N + 1), bool).at[flat].max(
+            vis.reshape(-1)
+        ).reshape(B, N + 1)
+        jump = jnp.take_along_axis(jump, jump, axis=1)
+    sym_start = vis[:, :N] & (idx < lengths[:, None])
+    is_match = sym_start & use
+    return sym_start, is_match
+
+
+def merge_chains(sym_start, is_match, mdist, lengths):
+    """Merge adjacent same-distance accepted matches into long segments.
+
+    Returns (seg_start bool, seg_len i32, seg_dist i32) per byte — seg_len
+    only meaningful at segment starts.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    B, N = sym_start.shape
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
+    rows = jax.lax.broadcasted_iota(i32, (B, N), 0)
+
+    # incoming[i] = distance of an accepted match ENDING exactly at i
+    # (accepted matches tile, so at most one). Scatter end -> dist.
+    is_m = is_match
+    # symbol length at start: for match = run to next symbol start
+    nxt_sym = jnp.where(sym_start, idx, N)
+    # next symbol start AFTER i: reversed cummin of starts > i
+    rev = nxt_sym[:, ::-1]
+    nsa = jax.lax.cummin(
+        jnp.concatenate([jnp.full((B, 1), N, i32), rev[:, :-1]], axis=1),
+        axis=1,
+    )[:, ::-1]  # next start strictly after i
+    sym_len = jnp.where(sym_start, jnp.minimum(nsa, lengths[:, None]) - idx, 0)
+
+    end = jnp.minimum(idx + sym_len, N)
+    flat = (rows * (N + 1) + jnp.where(is_m, end, N)).reshape(-1)
+    incoming = jnp.zeros(B * (N + 1), i32).at[flat].max(
+        jnp.where(is_m, mdist, 0).reshape(-1)
+    ).reshape(B, N + 1)[:, :N]
+
+    continuation = is_m & (incoming == mdist) & (mdist > 0)
+    seg_start = is_m & ~continuation
+
+    # segment length: next boundary (symbol start that is not a
+    # continuation) after the segment start
+    bound = sym_start & ~continuation
+    bpos = jnp.where(bound, idx, N)
+    brev = bpos[:, ::-1]
+    nba = jax.lax.cummin(
+        jnp.concatenate([jnp.full((B, 1), N, i32), brev[:, :-1]], axis=1),
+        axis=1,
+    )[:, ::-1]
+    seg_len = jnp.where(
+        seg_start, jnp.minimum(nba, lengths[:, None]) - idx, 0
+    )
+    return seg_start, seg_len, jnp.where(seg_start, mdist, 0)
+
+
+def _segments(data, lengths, depth: int, min_match: int):
+    """Device: matches -> greedy tiling -> merged segments.
+
+    Two hash passes: 4-byte buckets (short/near matches, cost-filtered) and
+    8-byte buckets (long matches the 4-byte buckets' nearest predecessors
+    miss); the longer verified match wins per position."""
+    import jax.numpy as jnp
+
+    mlen, mdist = find_matches(data, lengths, depth=depth,
+                               min_match=min_match)
+    ml8, md8 = find_matches(data, lengths, depth=max(depth // 2, 1),
+                            min_match=max(min_match, 8), hash_bytes=8,
+                            cost_filter=False)
+    better = ml8 > mlen
+    mlen = jnp.where(better, ml8, mlen)
+    mdist = jnp.where(better, md8, mdist)
+    sym_start, is_match = greedy_tile(mlen, mdist, lengths,
+                                      min_match=min_match)
+    return merge_chains(sym_start, is_match, mdist, lengths)
+
+
+def _roles_and_freqs(data, lengths, segments, min_match: int):
+    """Per-byte token roles + symbol frequencies from merged segments.
+
+    Returns (roles, freqs) where roles = (lit_mask, sub_start, sub_len,
+    sub_dist) dense [B, N] arrays and freqs = (litlen u32[B, 286],
+    dist u32[B, 30]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    B, N = data.shape
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
+    in_stream = idx < lengths[:, None]
+    seg_start, seg_len, seg_dist = segments
+
+    # Propagate segment info to every covered byte.
+    sstart = jax.lax.cummax(jnp.where(seg_start, idx, -1), axis=1)
+    send = jax.lax.cummax(
+        jnp.where(seg_start, idx + seg_len, 0), axis=1
+    )
+    covered = (sstart >= 0) & (idx < send)
+    s_clamp = jnp.maximum(sstart, 0)
+    d = jnp.take_along_axis(seg_dist, s_clamp, axis=1)
+    Lseg = jnp.take_along_axis(seg_len, s_clamp, axis=1)
+
+    q = idx - s_clamp
+    nfull = Lseg // 258
+    tail = Lseg - 258 * nfull
+    k = q // 258
+    r = q - 258 * k
+    tail_ok = tail >= min_match
+    in_full = covered & (k < nfull)
+    in_tail = covered & (k == nfull) & tail_ok & (r < tail)
+    tail_lit = covered & ~in_full & ~in_tail  # short tail -> literals
+
+    sub_start = (in_full | in_tail) & (r == 0)
+    sub_len = jnp.where(sub_start, jnp.where(in_full, 258, tail), 0)
+    lit_mask = in_stream & (~covered | tail_lit)
+
+    # Frequencies.
+    d8 = data.astype(i32)
+    rows = jax.lax.broadcasted_iota(i32, (B, N), 0)
+    lit_flat = jnp.where(lit_mask, rows * 286 + d8, B * 286)
+    lsym = jnp.asarray(LENGTH_TO_SYMBOL.astype(np.int32))[
+        jnp.clip(sub_len - 3, 0, 255)
+    ]
+    len_flat = jnp.where(sub_start, rows * 286 + lsym, B * 286)
+    ones = jnp.ones((B, N), i32)
+    freq_l = (
+        jnp.zeros(B * 286 + 1, i32)
+        .at[lit_flat.reshape(-1)].add(ones.reshape(-1))
+        .at[len_flat.reshape(-1)].add(ones.reshape(-1))
+    )[: B * 286].reshape(B, 286)
+    freq_l = freq_l.at[:, 256].add(1)  # EOB
+
+    dsym = jnp.asarray(DISTANCE_TO_SYM.astype(np.int32))[
+        jnp.clip(d - 1, 0, _WINDOW - 1)
+    ]
+    dist_flat = jnp.where(sub_start, rows * 30 + dsym, B * 30)
+    freq_d = (
+        jnp.zeros(B * 30 + 1, i32)
+        .at[dist_flat.reshape(-1)].add(ones.reshape(-1))
+    )[: B * 30].reshape(B, 30)
+
+    roles = (lit_mask, sub_start, sub_len, jnp.where(sub_start, d, 0))
+    return roles, (freq_l, freq_d)
+
+
+def _stage1(data, lengths, depth: int, min_match: int):
+    """Segments + first-pass roles/freqs + whole-stream byte histogram."""
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    B, N = data.shape
+    segments = _segments(data, lengths, depth, min_match)
+    roles, freqs = _roles_and_freqs(data, lengths, segments, min_match)
+
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
+    rows = jax.lax.broadcasted_iota(i32, (B, N), 0)
+    in_stream = idx < lengths[:, None]
+    flat = jnp.where(in_stream, rows * 256 + data.astype(i32), B * 256)
+    hist = (
+        jnp.zeros(B * 256 + 1, i32)
+        .at[flat.reshape(-1)].add(jnp.ones((B, N), i32).reshape(-1))
+    )[: B * 256].reshape(B, 256)
+    return segments, roles, freqs, hist
+
+
+def _demote_segments(data, lengths, segments, shadow_cost, lit_lens,
+                     dist_lens, min_match: int):
+    """Device stage 1.5: drop merged segments whose literal encoding is
+    cheaper (twin of models/bitstream._demote_unprofitable, evaluated with
+    the host-provided shadow literal costs and first-pass code lengths).
+    Returns the demoted segments plus recomputed roles/freqs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    B, N = data.shape
+    seg_start, seg_len, seg_dist = segments
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
+    in_stream = idx < lengths[:, None]
+
+    c = jnp.where(
+        in_stream, jnp.take_along_axis(shadow_cost, data.astype(i32), 1), 0
+    )
+    prefix = jnp.cumsum(c, axis=1)  # inclusive
+
+    L = seg_len
+    d = seg_dist
+    nfull = L // 258
+    tail = L - 258 * nfull
+    tail_ok = tail >= min_match
+    cov_end = idx + 258 * nfull + jnp.where(tail_ok, tail, 0)
+
+    # literal bits over the sub-run-covered region [s, cov_end)
+    pe = jnp.take_along_axis(prefix, jnp.clip(cov_end - 1, 0, N - 1), 1)
+    ps = jnp.take_along_axis(prefix, jnp.clip(idx - 1, 0, N - 1), 1)
+    ps = jnp.where(idx == 0, 0, ps)
+    lit_bits = pe - ps
+
+    lsym_t = jnp.asarray(LENGTH_TO_SYMBOL.astype(np.int32))
+    lext_t = jnp.asarray(LENGTH_TO_LEN_EXTRA.astype(np.int32))
+    dsym_t = jnp.asarray(DISTANCE_TO_SYM.astype(np.int32))
+    dext_t = jnp.asarray(DIST_SYM_TO_DIST_EXTRA.astype(np.int32))
+
+    l258 = lsym_t[255]
+    bits258 = jnp.take_along_axis(
+        lit_lens, jnp.full((B, N), l258, i32), 1
+    )
+    lsT = lsym_t[jnp.clip(tail - 3, 0, 255)]
+    bitsT = jnp.take_along_axis(lit_lens, jnp.clip(lsT, 0, 285), 1) + \
+        lext_t[jnp.clip(tail - 3, 0, 255)]
+    ds = dsym_t[jnp.clip(d - 1, 0, _WINDOW - 1)]
+    bitsD = jnp.take_along_axis(dist_lens, jnp.clip(ds, 0, 29), 1) + \
+        dext_t[jnp.clip(ds, 0, 29)]
+
+    match_bits = nfull * (bits258 + bitsD) + jnp.where(
+        tail_ok, bitsT + bitsD, 0
+    )
+    demote = seg_start & (lit_bits < match_bits + 3)
+
+    keep = ~demote
+    segments2 = (
+        seg_start & keep,
+        jnp.where(keep, seg_len, 0),
+        jnp.where(keep, seg_dist, 0),
+    )
+    roles, freqs = _roles_and_freqs(data, lengths, segments2, min_match)
+    return segments2, roles, freqs
+
+
+def _pack_symbols(data, lengths, roles, lit_codes, lit_lens, dist_codes,
+                  dist_lens, header_bits, header_words):
+    """Device stage 2: per-byte tokens -> bit positions -> word scatter.
+
+    lit_codes/lens: i32[B, 286]; dist_codes/lens: i32[B, 30];
+    header_bits: i32[B] (symbols start there); header_words: i32[B, HW]
+    (host-assembled zlib magic + dynamic header bit prefix).
+    Returns (words u32[B, W], total_bits i32[B]).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    B, N = data.shape
+    lit_mask, sub_start, sub_len, sub_dist = roles
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
+    d8 = data.astype(i32)
+
+    lsym_t = jnp.asarray(LENGTH_TO_SYMBOL.astype(np.int32))
+    lext_t = jnp.asarray(LENGTH_TO_LEN_EXTRA.astype(np.int32))
+    dsym_t = jnp.asarray(DISTANCE_TO_SYM.astype(np.int32))
+    dbase_t = jnp.asarray(DIST_SYM_TO_DIST_BASE.astype(np.int32))
+    dext_t = jnp.asarray(DIST_SYM_TO_DIST_EXTRA.astype(np.int32))
+
+    # Shift role info to the 4 slots of each sub-run.
+    def shifted(a, k):
+        pad = jnp.zeros((B, k), a.dtype)
+        return jnp.concatenate([pad, a[:, : N - k]], axis=1)
+
+    v = jnp.zeros((B, N), i32)
+    nb = jnp.zeros((B, N), i32)
+
+    # literal slots
+    lv = jnp.take_along_axis(lit_codes, d8, axis=1)
+    ln = jnp.take_along_axis(lit_lens, d8, axis=1)
+    v = jnp.where(lit_mask, lv, v)
+    nb = jnp.where(lit_mask, ln, nb)
+
+    # slot 0: length code
+    LL = sub_len
+    ls = lsym_t[jnp.clip(LL - 3, 0, 255)]
+    lcode = jnp.take_along_axis(lit_codes, jnp.clip(ls, 0, 285), axis=1)
+    llen = jnp.take_along_axis(lit_lens, jnp.clip(ls, 0, 285), axis=1)
+    v = jnp.where(sub_start, lcode, v)
+    nb = jnp.where(sub_start, llen, nb)
+
+    # slot 1: length extra bits
+    s1 = shifted(sub_start, 1)
+    LL1 = shifted(LL, 1)
+    lext = lext_t[jnp.clip(LL1 - 3, 0, 255)]
+    v = jnp.where(s1, (LL1 - 3) & ((1 << lext) - 1), v)
+    nb = jnp.where(s1, lext, nb)
+
+    # slot 2: dist code
+    s2 = shifted(sub_start, 2)
+    d2 = shifted(sub_dist, 2)
+    ds = dsym_t[jnp.clip(d2 - 1, 0, _WINDOW - 1)]
+    dcode = jnp.take_along_axis(dist_codes, jnp.clip(ds, 0, 29), axis=1)
+    dlen = jnp.take_along_axis(dist_lens, jnp.clip(ds, 0, 29), axis=1)
+    v = jnp.where(s2, dcode, v)
+    nb = jnp.where(s2, dlen, nb)
+
+    # slot 3: dist extra bits
+    s3 = shifted(sub_start, 3)
+    d3 = shifted(sub_dist, 3)
+    ds3 = dsym_t[jnp.clip(d3 - 1, 0, _WINDOW - 1)]
+    dext = dext_t[jnp.clip(ds3, 0, 29)]
+    dbase = dbase_t[jnp.clip(ds3, 0, 29)]
+    v = jnp.where(s3, d3 - dbase, v)
+    nb = jnp.where(s3, dext, nb)
+
+    nb = jnp.where(idx < lengths[:, None], nb, 0)
+    v = jnp.where(nb > 0, v, 0)
+
+    # ---- pack: cumsum + pair-combined scatter (ultrafast packer shape) ----
+    cum = jnp.cumsum(nb, axis=1)
+    eof_pos = header_bits + cum[:, -1]
+    ecode = jnp.take_along_axis(lit_codes, jnp.full((B, 1), 256, i32), 1)[:, 0]
+    elen = jnp.take_along_axis(lit_lens, jnp.full((B, 1), 256, i32), 1)[:, 0]
+    total_bits = ((eof_pos + elen + 7) // 8) * 8
+
+    v0 = v[:, 0::2].astype(u32)
+    v1 = v[:, 1::2].astype(u32)
+    n0 = nb[:, 0::2]
+    n1 = nb[:, 1::2]
+    vp = (v0 | (v1 << n0.astype(u32))).astype(u32)
+    npair = n0 + n1
+    positions = header_bits[:, None] + cum[:, 1::2] - npair
+
+    HW = header_words.shape[1]
+    W = max((N * 16 + 600) // 32 + 4, HW + 2)
+    wi = positions >> 5
+    sh = (positions & 31).astype(u32)
+    lo = (vp << sh).astype(u32)
+    hi = ((vp >> 1) >> (31 - sh).astype(u32)).astype(u32)
+    valid = npair > 0
+    rows2 = jax.lax.broadcasted_iota(i32, (B, N // 2), 0)
+    flat_lo = jnp.where(valid, rows2 * W + wi, B * W)
+    flat_hi = jnp.where(valid, rows2 * W + wi + 1, B * W)
+    words = jax.ops.segment_sum(
+        jnp.where(valid, lo.astype(i32), 0).reshape(-1),
+        flat_lo.reshape(-1), num_segments=B * W + 1,
+    )
+    words = words + jax.ops.segment_sum(
+        jnp.where(valid, hi.astype(i32), 0).reshape(-1),
+        flat_hi.reshape(-1), num_segments=B * W + 1,
+    )
+    words = words[: B * W].reshape(B, W).astype(u32)
+
+    words = words.at[:, :HW].add(header_words.astype(u32))
+
+    eof_wi = eof_pos >> 5
+    eof_sh = (eof_pos & 31).astype(u32)
+    ec = ecode.astype(u32)
+    rows1 = jnp.arange(B)
+    words = words.at[rows1, eof_wi].add((ec << eof_sh).astype(u32))
+    words = words.at[rows1, eof_wi + 1].add(
+        ((ec >> 1) >> (31 - eof_sh).astype(u32)).astype(u32)
+    )
+    return words, total_bits.astype(i32)
+
+
+def _host_header(freq_l: np.ndarray, freq_d: np.ndarray):
+    """Build one stream's dynamic-block header + code tables on the host.
+
+    Returns (header_bits, header_words u32[], lit_lens, lit_codes,
+    dist_lens, dist_codes).  Header = zlib magic + BFINAL=1/BTYPE=10 +
+    HLIT/HDIST/HCLEN + CL-coded lengths (no 16/17/18 run codes, matching
+    models/bitstream.py and the reference src/compress/bitstream.rs:133).
+    """
+    from ..models.bitstream import build_huffman_tree
+    from ..ops.bitio import BitWriter
+    from ..tables import CLCL_ORDER
+
+    lengths, codes, _ = build_huffman_tree(freq_l.astype(np.int64), 15)
+    dist_lengths, dist_codes, _ = build_huffman_tree(
+        freq_d.astype(np.int64), 15
+    )
+    num_litlen = 286
+    while num_litlen > 257 and lengths[num_litlen - 1] == 0:
+        num_litlen -= 1
+    num_dist = 30
+    while num_dist > 1 and dist_lengths[num_dist - 1] == 0:
+        num_dist -= 1
+    cl_freq = np.bincount(
+        np.concatenate([lengths[:num_litlen], dist_lengths[:num_dist]]),
+        minlength=19,
+    )[:19]
+    cl_lengths, cl_codes, _ = build_huffman_tree(cl_freq, 7)
+
+    sink = bytearray()
+    w = BitWriter(sink)
+    w.write_bits(0x9C78, 16)  # zlib magic
+    w.write_bits(0b101, 3)    # BFINAL=1, BTYPE=dynamic
+    w.write_bits(num_litlen - 257, 5)
+    w.write_bits(num_dist - 1, 5)
+    w.write_bits(15, 4)
+    for j in range(19):
+        w.write_bits(int(cl_lengths[CLCL_ORDER[j]]), 3)
+    for ln in np.concatenate([lengths[:num_litlen], dist_lengths[:num_dist]]):
+        w.write_bits(int(cl_codes[ln]), int(cl_lengths[ln]))
+    hbits = w.bit_position
+    w.flush()
+    raw = bytes(sink) + bytes((-len(sink)) % 4)
+    hwords = np.frombuffer(raw, "<u4")
+    return hbits, hwords, lengths, codes, dist_lengths, dist_codes
+
+
+def compress_batch_matched(streams: list[bytes], depth: int = 2,
+                           min_match: int = 4) -> list[bytes]:
+    """Device batch encode with LZ77 matching (levels 1-3 capability).
+
+    Three device launches with small host hops: (1) match scan -> roles +
+    frequencies + byte histogram; host builds first-pass trees and shadow
+    literal costs; (1.5) segment demotion (the block writer's cost model,
+    evaluated on device) -> final roles/frequencies; host builds the final
+    trees + headers; (2) bit packing.  Output: one dynamic block per
+    stream, valid zlib.
+    """
+    import zlib
+
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.bitstream import build_huffman_tree
+
+    B = len(streams)
+    lengths_np = np.array([len(s) for s in streams], np.int32)
+    N = max(8, int(-(-int(lengths_np.max(initial=1)) // 8) * 8))
+    buf = np.zeros((B, N), np.uint8)
+    for i, s in enumerate(streams):
+        buf[i, : len(s)] = np.frombuffer(s, np.uint8)
+    data = jnp.asarray(buf)
+    lengths = jnp.asarray(lengths_np)
+
+    stage1 = jax.jit(functools.partial(
+        _stage1, depth=depth, min_match=min_match))
+    segments, roles, (freq_l, freq_d), hist = stage1(data, lengths)
+    fl = np.asarray(freq_l)
+    fd = np.asarray(freq_d)
+    hist_np = np.asarray(hist)
+
+    # Shadow literal costs + first-pass code lengths for the demotion pass.
+    shadow = np.zeros((B, 256), np.int32)
+    fp_lit = np.zeros((B, 286), np.int32)
+    fp_dist = np.zeros((B, 30), np.int32)
+    for b in range(B):
+        sl, _, _ = build_huffman_tree(hist_np[b].astype(np.int64), 15)
+        shadow[b] = np.where(sl > 0, sl, 15)
+        ll, _, _ = build_huffman_tree(fl[b].astype(np.int64), 15)
+        dl, _, _ = build_huffman_tree(fd[b].astype(np.int64), 15)
+        fp_lit[b] = ll
+        fp_dist[b] = dl
+
+    stage15 = jax.jit(functools.partial(_demote_segments,
+                                        min_match=min_match))
+    for _pass in range(2):
+        segments, roles, (freq_l, freq_d) = stage15(
+            data, lengths, segments, jnp.asarray(shadow),
+            jnp.asarray(fp_lit), jnp.asarray(fp_dist),
+        )
+        fl = np.asarray(freq_l)
+        fd = np.asarray(freq_d)
+        for b in range(B):
+            ll, _, _ = build_huffman_tree(fl[b].astype(np.int64), 15)
+            dl, _, _ = build_huffman_tree(fd[b].astype(np.int64), 15)
+            fp_lit[b] = ll
+            fp_dist[b] = dl
+
+    HW = 48  # up to 1536 header bits (zlib magic + worst-case trees)
+    header_words = np.zeros((B, HW), np.uint32)
+    header_bits = np.zeros(B, np.int32)
+    lit_codes = np.zeros((B, 286), np.int32)
+    lit_lens = np.zeros((B, 286), np.int32)
+    dist_codes = np.zeros((B, 30), np.int32)
+    dist_lens = np.zeros((B, 30), np.int32)
+    for b in range(B):
+        hbits, hwords, ll, lc, dl, dc = _host_header(fl[b], fd[b])
+        assert hbits <= HW * 32
+        header_bits[b] = hbits
+        header_words[b, : len(hwords)] = hwords[:HW]
+        lit_lens[b] = ll
+        lit_codes[b] = lc
+        dist_lens[b] = dl
+        dist_codes[b] = dc
+
+    stage2 = jax.jit(_pack_symbols)
+    words, total_bits = stage2(
+        data, lengths, roles,
+        jnp.asarray(lit_codes), jnp.asarray(lit_lens),
+        jnp.asarray(dist_codes), jnp.asarray(dist_lens),
+        jnp.asarray(header_bits), jnp.asarray(header_words.view(np.int32)),
+    )
+    words_np = np.asarray(words)
+    tb = np.asarray(total_bits)
+
+    out = []
+    for b in range(B):
+        nbytes = int(tb[b]) // 8
+        raw = words_np[b].tobytes()[:nbytes]
+        out.append(raw + zlib.adler32(streams[b]).to_bytes(4, "big"))
+    return out

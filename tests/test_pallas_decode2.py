@@ -123,12 +123,13 @@ class TestKernelInterpret:
             win, chunk_bits, adler = encode_ultrafast_blocked(
                 jnp.asarray(data), lengths, C, lut_matmul=False
             )
-            out, bpos = decode_blocked(win, T=S // 4, U=U, interpret=True)
+            out, bpos = decode_blocked(win, T=S // 4, U=U, interpret=True,
+                                       lane_major=False)
             L = B * C
-            decoded = (
-                np.asarray(out).reshape(-1, S // 4)[:L]
-                .astype("<i4").view(np.uint8).reshape(B, N)
-            )
+            decoded = np.ascontiguousarray(
+                np.transpose(np.asarray(out), (0, 2, 3, 1))
+                .reshape(-1, S // 4)[:L]
+            ).view(np.uint8).reshape(B, N)
             bp = np.asarray(bpos).reshape(-1)[:L].reshape(B, C)
             assert (decoded == data).all(), name
             assert (bp == np.asarray(chunk_bits)).all(), name
@@ -145,7 +146,79 @@ class TestKernelInterpret:
         win, chunk_bits, adler = encode_ultrafast_blocked(
             jnp.asarray(data), lengths, C, lut_matmul=False
         )
-        out, _ = decode_blocked(win, T=S // 4, U=16, interpret=True)
+        out, _ = decode_blocked(win, T=S // 4, U=S // 4, interpret=True,
+                                lane_major=True)
         flat = jnp.reshape(out, (-1, S // 4))[: B * C]
-        decoded = np.asarray(flat).astype("<i4").view(np.uint8).reshape(B, N)
+        decoded = np.ascontiguousarray(np.asarray(flat)).view(np.uint8).reshape(B, N)
         assert (decoded == data).all()
+
+
+class TestMatchscan:
+    """TPU match finder + device dynamic-block writer (VERDICT item 4)."""
+
+    def _streams(self):
+        rng = np.random.default_rng(0)
+        idat = np.where(
+            rng.integers(0, 4, 8000) > 0, rng.integers(-8, 8, 8000), 0
+        ).astype(np.uint8).tobytes()
+        words = [b"the", b"quick", b"brown", b"fox"]
+        text = b" ".join(words[i] for i in rng.integers(0, 4, 2000))
+        low = ((rng.integers(0, 16, 8000, dtype=np.uint8) * 2) - 16).astype(
+            np.uint8
+        ).tobytes()
+        pat = np.tile(rng.integers(1, 256, 100, dtype=np.uint8), 50).tobytes()
+        rand = rng.integers(0, 256, 5000, dtype=np.uint8).tobytes()
+        return [idat, text, low, pat, rand]
+
+    def test_greedy_tiling_matches_serial_walk(self):
+        from fdeflate_tpu.ops.matchscan import find_matches, greedy_tile
+
+        rng = np.random.default_rng(1)
+        B, N = 2, 4096
+        data = np.zeros((B, N), np.uint8)
+        data[0] = np.tile(rng.integers(1, 256, 100, dtype=np.uint8), 41)[:N]
+        data[0, 1000:1600] = 0
+        data[1] = rng.integers(0, 256, N)
+        lengths = jnp.asarray(np.array([N, N - 7], np.int32))
+        mlen, mdist = find_matches(jnp.asarray(data), lengths)
+        ml, md = np.asarray(mlen), np.asarray(mdist)
+        ss, im = (np.asarray(x) for x in greedy_tile(mlen, mdist, lengths))
+        for b in range(B):
+            ref = np.zeros(N, bool)
+            refm = np.zeros(N, bool)
+            i = 0
+            L = int(np.asarray(lengths)[b])
+            while i < L:
+                ref[i] = True
+                if ml[b, i] >= 4:
+                    refm[i] = True
+                    i += ml[b, i]
+                else:
+                    i += 1
+            assert (ref == ss[b]).all() and (refm == im[b]).all(), b
+
+    def test_roundtrip_and_size_vs_host(self):
+        from fdeflate_tpu.ops.matchscan import compress_batch_matched
+
+        import fdeflate_tpu as F
+
+        streams = self._streams()
+        out = compress_batch_matched(streams, depth=8, min_match=4)
+        total_dev = 0
+        total_host = 0
+        for o, s in zip(out, streams):
+            assert zlib.decompress(o) == s
+            host = len(F.compress_to_vec_with_level(s, 1))
+            total_dev += len(o)
+            total_host += host
+            # per-stream: within 0.5% of host L1 (single-block/tree noise)
+            assert len(o) <= host * 1.005 + 16, (len(o), host)
+        # in aggregate the device encoder must not lose to host L1
+        assert total_dev <= total_host
+
+    def test_empty_and_tiny(self):
+        from fdeflate_tpu.ops.matchscan import compress_batch_matched
+
+        for data in (b"x", b"ab" * 6, bytes(24)):
+            out = compress_batch_matched([data])
+            assert zlib.decompress(out[0]) == data
