@@ -818,13 +818,58 @@ def decompress_batch(
     streams: list[bytes],
     max_steps: int = 8192,
     out_capacity: int | None = None,
+    try_parallel: bool = True,
 ) -> list[bytes | E.DecompressionError]:
     """Decode many zlib streams with one device lane per stream.
 
-    Returns, per stream, either the decompressed bytes or the error.  The
-    device decodes compressed-block payloads; the host parses framing and
-    rebuilds Huffman tables between blocks.
+    Returns, per stream, either the decompressed bytes or the error.
+
+    Large streams first go through the block-parallel discovery path
+    (parallel/discovery.try_foreign): all dynamic-block headers are found
+    structurally in one host pre-scan, every block decodes in its own
+    device lane in a SINGLE program, and one materialize launch resolves
+    backrefs — no host round-trip per block.  Streams the discovery cannot
+    cover (stored/fixed blocks, index-bearing tiny streams) fall through to
+    the sequential path, where the device decodes compressed-block payloads
+    and the host parses framing and rebuilds Huffman tables between blocks.
     """
+    import jax.numpy as jnp
+
+    results_par: dict[int, bytes] = {}
+    if try_parallel:
+        from ..parallel.discovery import try_foreign
+
+        for i, s in enumerate(streams):
+            # Multi-block streams start at ~64 KiB of payload (the host
+            # compressors cut blocks at 16384 symbols); below that the
+            # sequential path is already a single launch.
+            if len(s) >= 49152:
+                r = try_foreign(s, max_steps=max_steps)
+                if r is not None:
+                    results_par[i] = r
+        if len(results_par) == len(streams):
+            return [results_par[i] for i in range(len(streams))]
+        streams_seq = [
+            s for i, s in enumerate(streams) if i not in results_par
+        ]
+    else:
+        streams_seq = streams
+    seq_out = _decompress_batch_sequential(
+        streams_seq, max_steps=max_steps, out_capacity=out_capacity
+    )
+    results: list[bytes | E.DecompressionError] = []
+    it = iter(seq_out)
+    for i in range(len(streams)):
+        results.append(results_par[i] if i in results_par else next(it))
+    return results
+
+
+def _decompress_batch_sequential(
+    streams: list[bytes],
+    max_steps: int = 8192,
+    out_capacity: int | None = None,
+) -> list[bytes | E.DecompressionError]:
+    """Per-block host-orchestrated decode (the universal path)."""
     import jax.numpy as jnp
 
     states = [_StreamState(s) for s in streams]

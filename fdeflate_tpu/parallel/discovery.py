@@ -228,28 +228,42 @@ def decompress_foreign(data: bytes, max_steps: int = 6144) -> bytes:
     sequential path for the whole stream — correctness never depends on the
     discovery.  The final Adler-32 is always verified.
     """
-    import zlib
-
-    import jax
-    import jax.numpy as jnp
 
     def fallback() -> bytes:
-        r = I.decompress_batch([data], max_steps=max_steps)[0]
+        r = I.decompress_batch(
+            [data], max_steps=max_steps, try_parallel=False
+        )[0]
         if isinstance(r, E.DecompressionError):
             raise r
         return r
 
+    if len(data) >= 7:
+        cmf, flg = data[0], data[1]
+        if cmf & 0x0F != 0x08 or ((cmf << 8) | flg) % 31 != 0 or flg & 0x20:
+            raise E.BadZlibHeader()
+    r = try_foreign(data, max_steps=max_steps)
+    return r if r is not None else fallback()
+
+
+def try_foreign(data: bytes, max_steps: int = 6144) -> bytes | None:
+    """`decompress_foreign` without the fallback: bytes on a confirmed,
+    checksum-verified chain decode; None when the stream needs the
+    sequential path.  One decode launch + one materialize launch total."""
+    import zlib
+
+    import jax.numpy as jnp
+
     # zlib framing: 2-byte header; first block header starts at bit 16.
     if len(data) < 7:
-        return fallback()
+        return None
     cmf, flg = data[0], data[1]
     if cmf & 0x0F != 0x08 or ((cmf << 8) | flg) % 31 != 0 or flg & 0x20:
-        raise E.BadZlibHeader()
+        return None
 
     offsets, _hdr_ends = find_block_boundaries(data)
     if len(offsets) == 0 or offsets[0] != 16:
         if 16 not in set(offsets.tolist()):
-            return fallback()  # first block not dynamic (stored/fixed)
+            return None  # first block not dynamic (stored/fixed)
 
     # Host: parse each candidate's header -> tables + symbol-start bit.
     lanes = []
@@ -265,7 +279,7 @@ def decompress_foreign(data: bytes, max_steps: int = 6144) -> bytes:
             continue
         lanes.append((off, bool(bfinal), r.pos, tables))
     if not lanes or lanes[0][0] != 16:
-        return fallback()
+        return None
 
     L = len(lanes)
     Wmax = (len(data) + 3) // 4 + 2
@@ -317,7 +331,7 @@ def decompress_foreign(data: bytes, max_steps: int = 6144) -> bytes:
     while True:
         i = by_off.get(cur)
         if i is None or status_np[i] != I._EOB:
-            return fallback()
+            return None
         chain.append(i)
         if lanes[i][1]:  # BFINAL
             final_exit = int(bpos_np[i])
@@ -346,7 +360,7 @@ def decompress_foreign(data: bytes, max_steps: int = 6144) -> bytes:
     pos = jnp.cumsum(adv, axis=0) - adv
     bad_dist = bool(np.asarray(jnp.any((rd2 > 0) & (rd2 > pos))))
     if bad_dist:
-        return fallback()
+        return None
     produced = int(np.asarray(jnp.sum(adv)))
 
     cap = 1 << int(np.ceil(np.log2(max(produced, 256))))
@@ -362,5 +376,5 @@ def decompress_foreign(data: bytes, max_steps: int = 6144) -> bytes:
     tb = (final_exit + 7) & ~7
     stored = int.from_bytes(data[tb // 8 : tb // 8 + 4], "big")
     if stored != zlib.adler32(result):
-        return fallback()  # chain was structurally plausible but wrong
+        return None  # chain was structurally plausible but wrong
     return result
