@@ -21,7 +21,7 @@ except ImportError:  # pragma: no cover
 
 import fdeflate_tpu as F
 from fdeflate_tpu import errors as E
-from test_utils import decompress_by_chunks, result_of
+from test_utils import DriverError, decompress_by_chunks, result_of
 
 pytestmark = pytest.mark.skipif(
     not HAVE_HYPOTHESIS, reason="hypothesis not installed"
@@ -89,6 +89,72 @@ if HAVE_HYPOTHESIS:
         pattern = itertools.cycle(chunks)
         r1 = result_of(lambda: decompress_by_chunks(compressed, [len(compressed)]))
         r2 = result_of(lambda: decompress_by_chunks(compressed, pattern))
+        assert r1 == r2
+
+    def _decompress_output_bytewise(data: bytes, cap: int = 1_000_000):
+        """Drive ``read`` offering ONE free output byte per call
+        (fuzz/inflate_bytewise.rs analogue)."""
+        d = F.Decompressor()
+        d.ignore_adler32()
+        out = bytearray()
+        in_pos = 0
+        for _ in range(200_000):
+            if d.is_done():
+                return bytes(out)
+            window = bytearray(len(out) + 1)
+            window[: len(out)] = out
+            consumed, produced = d.read(data[in_pos:], window, len(out))
+            in_pos += consumed
+            out = window[: len(out) + produced]
+            if len(out) > cap:
+                raise DriverError("OutputTooLarge")
+            if consumed == 0 and produced == 0 and not d.is_done():
+                # No progress with a free byte and all remaining input:
+                # the stream needs input that does not exist.
+                raise DriverError("Stalled")
+        raise DriverError("TooManyIterations")
+
+    @given(st.one_of(st.binary(max_size=600),
+                     payloads.map(lambda p: zlib.compress(p, 6))))
+    @settings(max_examples=60, deadline=None)
+    def test_output_bytewise_equivalence(data):
+        """fuzz/inflate_bytewise.rs analogue: presenting the OUTPUT buffer
+        one byte at a time must match whole-buffer decode, on valid and
+        arbitrary (usually malformed) inputs alike."""
+        r_whole = result_of(lambda: decompress_by_chunks(data, [len(data)]))
+        r_byte = result_of(lambda: _decompress_output_bytewise(data))
+        if r_byte == ("testerr", "Stalled"):
+            # Truncated stream: the whole-buffer driver spins out its
+            # iteration cap waiting for input that never comes.
+            assert r_whole in (("testerr", "TooManyIterations"),
+                               ("err", "InsufficientInput")), r_whole
+        else:
+            assert r_whole == r_byte
+
+    @given(st.binary(max_size=600))
+    @settings(max_examples=60, deadline=None)
+    def test_arbitrary_input_bytewise_chunking(data):
+        """fuzz/inflate_bytewise2.rs analogue: input fed one byte at a
+        time (on ARBITRARY bytes, not just valid streams) gives the same
+        outcome and error class as whole-buffer decode."""
+        import itertools
+
+        r1 = result_of(lambda: decompress_by_chunks(data, [len(data)]))
+        r2 = result_of(lambda: decompress_by_chunks(data, itertools.repeat(1)))
+        assert r1 == r2
+
+    @given(st.one_of(st.binary(max_size=600),
+                     payloads.map(lambda p: zlib.compress(p, 4))),
+           st.integers(0, 600))
+    @settings(max_examples=60, deadline=None)
+    def test_split_two_reads(data, cut):
+        """fuzz/inflate_split.rs analogue: one read vs the same input
+        split across exactly two reads."""
+        cut = min(cut, len(data))
+        r1 = result_of(lambda: decompress_by_chunks(data, [len(data)]))
+        r2 = result_of(
+            lambda: decompress_by_chunks(data, [cut, len(data) - cut])
+        )
         assert r1 == r2
 
     @given(payloads, st.lists(st.integers(0, 2000), max_size=10))
