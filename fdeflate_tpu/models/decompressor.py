@@ -591,13 +591,35 @@ def decompress_to_vec_bounded(input: bytes, maxlen: int | None) -> bytes:
     output would exceed ``maxlen``.  Reference: src/decompress.rs:1111-1144.
 
     Whole-buffer decodes dispatch to the native C++ kernel when it is
-    available; the Python state machine is the fallback (and the oracle the
-    native path is differentially tested against).
+    available.  Without it, large inputs route through the device batch
+    decoder (ops/inflate — XLA on whatever backend is present), so the
+    no-native configuration is not limited to per-symbol Python speed; the
+    Python state machine remains the universal fallback (and the oracle
+    the other paths are differentially tested against), and it alone
+    decides error outcomes for malformed streams.
     """
+    import os
+
     from . import native
 
     if native.available():
         return native.inflate(input, maxlen=maxlen)
+    if (
+        len(input) >= (1 << 18)
+        and os.environ.get("FDEFLATE_TPU_NO_DEVICE") != "1"
+    ):
+        try:
+            from ..ops.inflate import decompress_batch
+
+            r = decompress_batch([input])[0]
+        except Exception:
+            r = None
+        if isinstance(r, bytes):
+            if maxlen is not None and len(r) > maxlen:
+                raise E.OutputTooLarge(bytes(r[:maxlen]))
+            return r
+        # Device-path error: re-decode on the Python oracle for exact
+        # error-class/partial-output parity (malformed streams only).
     return _decompress_to_vec_python(input, maxlen)
 
 

@@ -161,6 +161,26 @@ class TestStreaming:
             F.decompress_to_vec_bounded(compressed, 1000)
         assert F.decompress_to_vec_bounded(compressed, 100000) == data
 
+    def test_no_native_large_decode_routes_through_device(self, monkeypatch):
+        """Without the C++ backend, whole-buffer decodes of large streams
+        use the XLA batch decoder — results and maxlen semantics must match
+        the Python oracle exactly."""
+        from fdeflate_tpu.models import decompressor as D
+        from fdeflate_tpu.models import native
+
+        monkeypatch.setattr(native, "available", lambda: False)
+        rng = np.random.default_rng(21)
+        base = np.tile(rng.integers(0, 256, 2048, dtype=np.uint8), 420)
+        noise = rng.integers(0, base.size, base.size // 8)
+        base[noise] = rng.integers(0, 256, noise.size, dtype=np.uint8)
+        data = base.tobytes()
+        compressed = zlib.compress(data, 6)
+        assert len(compressed) >= (1 << 18)  # big enough to take the route
+        assert D.decompress_to_vec_bounded(compressed, None) == data
+        with pytest.raises(E.OutputTooLarge) as exc:
+            D.decompress_to_vec_bounded(compressed, 4096)
+        assert len(exc.value.partial_output) == 4096
+
 
 class TestErrors:
     def test_bad_zlib_header(self):
