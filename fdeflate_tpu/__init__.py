@@ -81,6 +81,14 @@ def __getattr__(name):
         from .parallel.batch_speculative import decompress_batch_speculative
 
         return decompress_batch_speculative
+    if name == "decompress_foreign":
+        from .parallel.discovery import decompress_foreign
+
+        return decompress_foreign
+    if name == "compress_batch_matched":
+        from .ops.matchscan import compress_batch_matched
+
+        return compress_batch_matched
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [
