@@ -286,8 +286,166 @@ def _kernel(win_ref, tab_ref, out_ref, bpos_ref, state, *,
         bpos_ref[0] = state[0]
 
 
+def _kernel_light(win_ref, tab_ref, out_ref, bpos_ref, state, *,
+                  wwin: int, U: int, bounds, kvals, lane_major: bool):
+    """Compile-light kernel body: identical semantics to ``_kernel``.
+
+    The remote Mosaic toolchain's compile time scales with program size, and
+    the fully-unrolled select-reduces of ``_kernel`` (window refill over
+    ``wwin`` words, symbol lookup over 512 entries, each instantiated 2-4x
+    per unrolled step) produce programs in the 10^5-instruction range that
+    take tens of minutes to compile over the accelerator tunnel.  This body
+    keeps the per-step work identical but:
+
+    * window refill and symbol lookup run as ``fori_loop``s with 8-wide
+      unrolled bodies (program size O(U), not O(U * wwin));
+    * the symbol table lives in SMEM as 256 packed *pairs* (two 15-bit
+      entries per int32) read with scalar dynamic loads — halving the
+      select-reduce depth and avoiding any VMEM lane-indexed access;
+    * the lane-block window is never materialized as a value (the original
+      ``win = win_ref[0]`` forces ~wwin vector registers through every
+      unrolled select, which Mosaic must spill).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    sb = pl.program_id(1)
+    num_sb = pl.num_programs(1)
+    npairs = _TAB_PAD // 2
+
+    def word_at(widx):
+        def body(g, acc):
+            w0 = g * 8
+            for j in range(8):
+                v = win_ref[0, w0 + j]
+                acc = jnp.where(widx == w0 + j, v, acc)
+            return acc
+
+        return jax.lax.fori_loop(
+            0, wwin // 8, body, jnp.zeros((8, LANE), i32)
+        )
+
+    def sym_lookup(idx):
+        pidx = idx >> 1
+
+        def body(g, acc):
+            p0 = g * 8
+            for j in range(8):
+                v = tab_ref[0, p0 + j]
+                acc = jnp.where(pidx == p0 + j, v, acc)
+            return acc
+
+        accp = jax.lax.fori_loop(
+            0, npairs // 8, body, jnp.zeros((8, LANE), i32)
+        )
+        return (accp >> ((idx & 1) * 16)) & 0x7FFF
+
+    # state rows: 0 pos, 1 run_rem, 2 base, 3..7 w0..w4 (160-bit window)
+    @pl.when(sb == 0)
+    def _init():
+        state[0] = jnp.zeros((8, LANE), i32)
+        state[1] = jnp.zeros((8, LANE), i32)
+        state[2] = jnp.zeros((8, LANE), i32)
+        for j in range(5):
+            state[3 + j] = win_ref[0, j]
+
+    pos, run_rem, base = state[0], state[1], state[2]
+    w = [state[3 + j] for j in range(5)]
+
+    def bitrev12(x):
+        x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+        x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+        x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+        x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+        return x >> 4
+
+    for u in range(U):
+        pos_off = pos - (base << 5)
+
+        def peek32(o):
+            oo = pos_off + o
+            wsel = oo >> 5
+            a = w[3]
+            b = w[4]
+            for j in (2, 1, 0):
+                a = jnp.where(wsel == j, w[j], a)
+                b = jnp.where(wsel == j, w[j + 1], b)
+            a = a.astype(u32)
+            b = b.astype(u32)
+            sh = (oo & 31).astype(u32)
+            return (a >> sh) | jnp.where(
+                sh == 0, u32(0), b << ((32 - (oo & 31)).astype(u32) & 31)
+            )
+
+        consumed = jnp.zeros((8, LANE), i32)
+        word = jnp.zeros((8, LANE), u32)
+        filled = jnp.zeros((8, LANE), i32)
+        for _sub in range(4):
+            space = 4 - filled
+            take = jnp.minimum(run_rem, space)
+            filled = filled + take
+            run_rem = run_rem - take
+
+            need = (filled < 4) & (run_rem == 0)
+            bits = peek32(consumed)
+            r12 = bitrev12((bits & 0xFFF).astype(i32))
+            L = jnp.ones((8, LANE), i32)
+            for l in range(1, MAXL):
+                L = L + (r12 >= bounds[l]).astype(i32)
+            Kv = jnp.full((8, LANE), kvals[MAXL], i32)
+            for l in range(1, MAXL):
+                Kv = jnp.where(L == l, kvals[l], Kv)
+            idx = Kv + (r12 >> (MAXL - L))
+            e = sym_lookup(jnp.where(need, idx, 0))
+            val = e & 0x1FF
+            extra = (e >> 9) & 0xF
+            cls = e >> 13
+
+            is_lit = need & (cls == _CLS_LIT)
+            is_run = need & (cls == _CLS_LEN)
+            word = word | jnp.where(
+                is_lit, val.astype(u32) << (filled * 8).astype(u32), u32(0)
+            )
+            filled = filled + is_lit.astype(i32)
+            run_val = val + ((bits >> L.astype(u32)).astype(i32)
+                             & ((1 << extra) - 1))
+            run_rem = jnp.where(is_run, run_val, run_rem)
+            consumed = consumed + jnp.where(
+                is_lit, L, jnp.where(is_run, L + extra + 1, 0)
+            )
+
+        take = jnp.minimum(run_rem, 4 - filled)
+        filled = filled + take
+        run_rem = run_rem - take
+
+        pos = pos + consumed
+        if lane_major:
+            out_ref[0, :, :, u] = word.astype(i32)
+        else:
+            out_ref[0, u] = word.astype(i32)
+
+        # Refill: valid streams consume <= 62 bits/step -> <= 2 new words.
+        for _ in range(2):
+            need_r = (pos >> 5) > base
+            for j in range(4):
+                w[j] = jnp.where(need_r, w[j + 1], w[j])
+            base = jnp.where(need_r, base + 1, base)
+            w[4] = jnp.where(need_r, word_at(base + 4), w[4])
+
+    state[0], state[1], state[2] = pos, run_rem, base
+    for j in range(5):
+        state[3 + j] = w[j]
+
+    @pl.when(sb == num_sb - 1)
+    def _finish():
+        bpos_ref[0] = state[0]
+
+
 def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
-                   lane_major: bool | None = None):
+                   lane_major: bool | None = None, light: bool = True):
     """Decode fixed-geometry lane-blocked streams.
 
     Args:
@@ -298,6 +456,11 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         [B, N] bytes with zero data movement; Mosaic requires U % 128 == 0).
         False -> out i32[LB, T, 8, 128] (step-major; pair with corner_turn).
         None -> lane-major when U % 128 == 0.
+      light: use the compile-light kernel body (fori_loop select-reduces,
+        SMEM pair-packed symbol table).  Semantically identical to the
+        unrolled body, which is kept for A/B timing; the unrolled form
+        produces ~10^5-instruction Mosaic programs whose remote compiles
+        take tens of minutes on this platform.
 
     Returns (out, bpos i32[LB, 8, 128]) — bpos is each lane's final bit
     position (== the encoder's chunk_bits when the decode is exact).
@@ -319,8 +482,14 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
     SB = T // U
     bounds, kvals, packed = canonical_meta()
 
+    if light and wwin % 8 != 0:
+        pad = 8 - wwin % 8
+        win = jnp.pad(win, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        wwin += pad
+
     kern = functools.partial(
-        _kernel, wwin=wwin, U=U, bounds=bounds, kvals=kvals,
+        _kernel_light if light else _kernel,
+        wwin=wwin, U=U, bounds=bounds, kvals=kvals,
         lane_major=lane_major,
     )
     if lane_major:
@@ -331,13 +500,24 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         out_spec = pl.BlockSpec((1, U, 8, LANE), lambda lb, sb: (lb, sb, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((LB, T, 8, LANE), jnp.int32)
+    if light:
+        # Two 15-bit entries per int32, in SMEM: the kernel reads the table
+        # with scalar dynamic loads (lane-indexed VMEM access would not
+        # lower), and pairing halves the select-reduce depth.
+        p64 = packed.astype(np.int64)
+        tab = (p64[0::2] | (p64[1::2] << 16)).astype(np.int32)
+        tab_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+        tab_arg = jnp.asarray(tab.reshape(1, _TAB_PAD // 2))
+    else:
+        tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        tab_arg = jnp.asarray(packed.reshape(1, _TAB_PAD))
     f = pl.pallas_call(
         kern,
         grid=(LB, SB),
         in_specs=[
             pl.BlockSpec((1, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            tab_spec,
         ],
         out_specs=[
             out_spec,
@@ -351,7 +531,7 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         scratch_shapes=[pltpu.VMEM((8, 8, LANE), jnp.int32)],
         interpret=interpret,
     )
-    out, bpos = f(win, jnp.asarray(packed.reshape(1, _TAB_PAD)))
+    out, bpos = f(win, tab_arg)
     return out, bpos
 
 
