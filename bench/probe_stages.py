@@ -85,7 +85,9 @@ def main():
     # correctness on this small case
     out = np.asarray(out_sm)
     L = B * C
-    lanes = np.transpose(out, (0, 2, 3, 1)).reshape(-1, S // 4)[:L]
+    lanes = np.ascontiguousarray(
+        np.transpose(out, (0, 2, 3, 1)).reshape(-1, S // 4)[:L]
+    )
     decoded = lanes.astype("<i4").view(np.uint8).reshape(B, N)
     stamp(f"bytes equal: {bool((decoded == data).all())}")
 

@@ -286,9 +286,15 @@ def _kernel(win_ref, tab_ref, out_ref, bpos_ref, state, *,
         bpos_ref[0] = state[0]
 
 
-def _kernel_light(win_ref, tab_ref, out_ref, bpos_ref, state, *,
-                  wwin: int, U: int, bounds, kvals, lane_major: bool):
+def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
+                  wwin: int, U: int, lane_major: bool):
     """Compile-light kernel body: identical semantics to ``_kernel``.
+
+    Canonical-decode metadata (bounds/kvals) arrives as a runtime SMEM
+    input rather than compile-time constants, so ONE compiled kernel
+    serves any <=12-bit canonical tree — the trained PNG tree and the
+    per-batch adaptive trees of ops/adaptive.py hit the same executable
+    (and the same persistent-cache entry).
 
     The remote Mosaic toolchain's compile time scales with program size, and
     the fully-unrolled select-reduces of ``_kernel`` (window refill over
@@ -315,6 +321,9 @@ def _kernel_light(win_ref, tab_ref, out_ref, bpos_ref, state, *,
     sb = pl.program_id(1)
     num_sb = pl.num_programs(1)
     npairs = _TAB_PAD // 2
+
+    bounds = [meta_ref[0, l] for l in range(MAXL + 1)]
+    kvals = [meta_ref[0, 16 + l] for l in range(MAXL + 1)]
 
     def word_at(widx):
         def body(g, acc):
@@ -395,7 +404,7 @@ def _kernel_light(win_ref, tab_ref, out_ref, bpos_ref, state, *,
             L = jnp.ones((8, LANE), i32)
             for l in range(1, MAXL):
                 L = L + (r12 >= bounds[l]).astype(i32)
-            Kv = jnp.full((8, LANE), kvals[MAXL], i32)
+            Kv = jnp.zeros((8, LANE), i32) + kvals[MAXL]
             for l in range(1, MAXL):
                 Kv = jnp.where(L == l, kvals[l], Kv)
             idx = Kv + (r12 >> (MAXL - L))
@@ -445,7 +454,8 @@ def _kernel_light(win_ref, tab_ref, out_ref, bpos_ref, state, *,
 
 
 def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
-                   lane_major: bool | None = None, light: bool = True):
+                   lane_major: bool | None = None, light: bool = True,
+                   tables=None):
     """Decode fixed-geometry lane-blocked streams.
 
     Args:
@@ -461,6 +471,9 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         unrolled body, which is kept for A/B timing; the unrolled form
         produces ~10^5-instruction Mosaic programs whose remote compiles
         take tens of minutes on this platform.
+      tables: optional (meta i32[1, 32], tabp i32[1, 256]) runtime
+        canonical tree (ops/adaptive.decode_meta); None selects the
+        trained PNG tree.  Light kernel only.
 
     Returns (out, bpos i32[LB, 8, 128]) — bpos is each lane's final bit
     position (== the encoder's chunk_bits when the decode is exact).
@@ -487,11 +500,16 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         win = jnp.pad(win, ((0, 0), (0, pad), (0, 0), (0, 0)))
         wwin += pad
 
-    kern = functools.partial(
-        _kernel_light if light else _kernel,
-        wwin=wwin, U=U, bounds=bounds, kvals=kvals,
-        lane_major=lane_major,
-    )
+    if light:
+        kern = functools.partial(
+            _kernel_light, wwin=wwin, U=U, lane_major=lane_major,
+        )
+    else:
+        assert tables is None, "runtime tables need the light kernel"
+        kern = functools.partial(
+            _kernel, wwin=wwin, U=U, bounds=bounds, kvals=kvals,
+            lane_major=lane_major,
+        )
     if lane_major:
         out_spec = pl.BlockSpec((1, 8, LANE, U), lambda lb, sb: (lb, 0, 0, sb),
                                 memory_space=pltpu.VMEM)
@@ -503,22 +521,37 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
     if light:
         # Two 15-bit entries per int32, in SMEM: the kernel reads the table
         # with scalar dynamic loads (lane-indexed VMEM access would not
-        # lower), and pairing halves the select-reduce depth.
-        p64 = packed.astype(np.int64)
-        tab = (p64[0::2] | (p64[1::2] << 16)).astype(np.int32)
-        tab_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
-        tab_arg = jnp.asarray(tab.reshape(1, _TAB_PAD // 2))
+        # lower), and pairing halves the select-reduce depth.  Canonical
+        # metadata rides along as a second SMEM input so one executable
+        # serves any tree.
+        if tables is None:
+            p64 = packed.astype(np.int64)
+            tab = (p64[0::2] | (p64[1::2] << 16)).astype(np.int32)
+            tab_arg = jnp.asarray(tab.reshape(1, _TAB_PAD // 2))
+            meta_np = np.zeros(32, np.int32)
+            meta_np[: MAXL + 1] = bounds
+            meta_np[16 : 16 + MAXL + 1] = kvals
+            meta_arg = jnp.asarray(meta_np.reshape(1, 32))
+        else:
+            meta_arg, tab_arg = tables
+        in_specs = [
+            pl.BlockSpec((1, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ]
+        args = (win, tab_arg, meta_arg)
     else:
-        tab_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-        tab_arg = jnp.asarray(packed.reshape(1, _TAB_PAD))
+        in_specs = [
+            pl.BlockSpec((1, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ]
+        args = (win, jnp.asarray(packed.reshape(1, _TAB_PAD)))
     f = pl.pallas_call(
         kern,
         grid=(LB, SB),
-        in_specs=[
-            pl.BlockSpec((1, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            tab_spec,
-        ],
+        in_specs=in_specs,
         out_specs=[
             out_spec,
             pl.BlockSpec((1, 8, LANE), lambda lb, sb: (lb, 0, 0),
@@ -531,7 +564,7 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         scratch_shapes=[pltpu.VMEM((8, 8, LANE), jnp.int32)],
         interpret=interpret,
     )
-    out, bpos = f(win, tab_arg)
+    out, bpos = f(*args)
     return out, bpos
 
 

@@ -69,7 +69,8 @@ def _lut(table, idx, use_matmul: bool):
     return combined.reshape(idx.shape)
 
 
-def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0):
+def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0,
+                   rt=None, return_syms: bool = False):
     """Per-byte token assignment shared by the linear and blocked encoders.
 
     With ``split_S > 0``, zero-runs are additionally SPLIT at every
@@ -78,8 +79,19 @@ def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0):
     decode lane owns a statically-known output range.  Costs ~13 bits per
     cut run.
 
-    Returns (v, nb, at_extra, aligned) — token values/bit counts per byte,
-    the extra-bits-token mask, and per-stream aligned lengths.
+    ``rt`` switches the trained-tree constants for RUNTIME code tables (the
+    adaptive encoder, ops/adaptive.py): a dict with device arrays
+    ``lit_tab`` (i32[256]: code | len << 16), ``tail_tab`` (i32[259]:
+    code | len << 16 | extra << 20) and scalars ``c0/l0`` (literal-zero
+    code) and ``c285/l285`` (length-symbol-285 code).  The token structure
+    (run segmentation, 258-splits) is tree-independent.
+
+    ``return_syms`` appends a per-byte DEFLATE symbol id (i32, -1 where the
+    byte emits no symbol — mid-run bytes, extra-bits tokens, padding) for
+    frequency counting.
+
+    Returns (v, nb, at_extra, aligned[, sym]) — token values/bit counts per
+    byte, the extra-bits-token mask, and per-stream aligned lengths.
     """
     import jax
     import jax.numpy as jnp
@@ -92,18 +104,28 @@ def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0):
     # lit_tab[b]   = code | len << 16               (literal byte b)
     # tail_tab[T]  = code | len << 16 | extra << 20 (run tail of length T;
     #                extra is the count of extra bits for the length symbol)
-    lit_tab = jnp.asarray(
-        (HUFFMAN_CODES | (HUFFMAN_LENGTHS << 16)).astype(np.int32)
-    )
-    tail_np = np.zeros(259, np.int32)
-    for T in range(3, 259):
-        sym = int(LENGTH_TO_SYMBOL[T - 3])
-        tail_np[T] = (
-            int(HUFFMAN_CODES[sym])
-            | (int(HUFFMAN_LENGTHS[sym]) << 16)
-            | (int(LENGTH_TO_LEN_EXTRA[T - 3]) << 20)
+    if rt is None:
+        lit_tab = jnp.asarray(
+            (HUFFMAN_CODES | (HUFFMAN_LENGTHS << 16)).astype(np.int32)
         )
-    tail_tab = jnp.asarray(tail_np)
+        tail_np = np.zeros(259, np.int32)
+        for T in range(3, 259):
+            sym = int(LENGTH_TO_SYMBOL[T - 3])
+            tail_np[T] = (
+                int(HUFFMAN_CODES[sym])
+                | (int(HUFFMAN_LENGTHS[sym]) << 16)
+                | (int(LENGTH_TO_LEN_EXTRA[T - 3]) << 20)
+            )
+        tail_tab = jnp.asarray(tail_np)
+        c0 = jnp.int32(int(HUFFMAN_CODES[0]))
+        l0 = jnp.int32(int(HUFFMAN_LENGTHS[0]))
+        c285 = jnp.int32(int(HUFFMAN_CODES[285]))
+        l285 = jnp.int32(int(HUFFMAN_LENGTHS[285]))
+    else:
+        lit_tab = rt["lit_tab"]
+        tail_tab = rt["tail_tab"]
+        c0, l0 = rt["c0"], rt["l0"]
+        c285, l285 = rt["c285"], rt["l285"]
 
     d = data.astype(i32)
     lengths = lengths.astype(i32)
@@ -170,13 +192,13 @@ def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0):
     nb = jnp.where(member, 0, lit_n)
 
     is_first = member & (p == 0)
-    v = jnp.where(is_first, jnp.int32(int(HUFFMAN_CODES[0])), v)
-    nb = jnp.where(is_first, jnp.int32(int(HUFFMAN_LENGTHS[0])), nb)
+    v = jnp.where(is_first, c0, v)
+    nb = jnp.where(is_first, l0, nb)
 
     qk = q // 258
     is_285 = member & (p > 0) & (q - qk * 258 == 257)
-    v = jnp.where(is_285, jnp.int32(int(HUFFMAN_CODES[285])), v)
-    nb = jnp.where(is_285, jnp.int32(int(HUFFMAN_LENGTHS[285]) + 1), nb)
+    v = jnp.where(is_285, c285, v)
+    nb = jnp.where(is_285, l285 + 1, nb)
 
     tl = _lut(tail_tab, jnp.clip(tail, 0, 258), lut_matmul)
     tail_extra = tl >> 20
@@ -190,8 +212,8 @@ def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0):
     nb = jnp.where(at_extra, tail_extra + 1, nb)
 
     small_tail = member & (tail > 0) & (tail <= 4) & (q >= q0) & (q < q0 + tail)
-    v = jnp.where(small_tail, jnp.int32(int(HUFFMAN_CODES[0])), v)
-    nb = jnp.where(small_tail, jnp.int32(int(HUFFMAN_LENGTHS[0])), nb)
+    v = jnp.where(small_tail, c0, v)
+    nb = jnp.where(small_tail, l0, nb)
 
     # Remainder bytes (aligned <= i < length) are always literals; padding
     # beyond the stream emits nothing.
@@ -200,7 +222,19 @@ def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0):
     nb = jnp.where(is_rem, lit_n, nb)
     nb = jnp.where(in_stream, nb, 0)
     v = jnp.where(nb > 0, v, 0)
-    return v, nb, at_extra, aligned
+    if not return_syms:
+        return v, nb, at_extra, aligned
+
+    # Per-byte DEFLATE symbol ids (tree-independent): literals carry their
+    # byte value, run tokens their length symbol; -1 where no symbol.
+    tail_sym_np = np.zeros(259, np.int32)
+    tail_sym_np[3:] = LENGTH_TO_SYMBOL.astype(np.int32)
+    tail_sym = jnp.asarray(tail_sym_np)
+    sym = jnp.where(member | ~in_stream, -1, d)
+    sym = jnp.where(is_first | small_tail, 0, sym)
+    sym = jnp.where(at_sym, tail_sym[jnp.clip(tail, 0, 258)], sym)
+    sym = jnp.where(is_285, 285, sym)
+    return v, nb, at_extra, aligned, sym
 
 
 def encode_ultrafast_batch(
@@ -281,11 +315,13 @@ def encode_ultrafast_batch(
         jnp.where(valid, lo.astype(i32), 0).reshape(-1),
         flat_lo.reshape(-1),
         num_segments=B * W + 1,
+        indices_are_sorted=True,
     )
     words = words + jax.ops.segment_sum(
         jnp.where(valid, hi.astype(i32), 0).reshape(-1),
         flat_hi.reshape(-1),
         num_segments=B * W + 1,
+        indices_are_sorted=True,
     )
     words = words[: B * W].reshape(B, W).astype(u32)
 
@@ -362,6 +398,33 @@ def encode_ultrafast_blocked(data, lengths, num_chunks: int,
         )
 
     v, nb, at_extra, aligned = _assign_tokens(data, lengths, lut_matmul, S)
+    win, chunk_bits = _pack_blocked(v, nb, at_extra, C)
+    adler = adler32_batch(data, lengths)
+    return win, chunk_bits, adler
+
+
+def _pack_blocked(v, nb, at_extra, C: int, kernel_pack: bool | None = None):
+    """Pack per-byte tokens into the lane-blocked window layout.
+
+    Shared by the trained-tree (encode_ultrafast_blocked) and adaptive
+    (ops/adaptive.py) blocked encoders; the token grammar is identical,
+    only the code assignment differs.
+
+    On TPU the final placement runs as the Pallas pack kernel
+    (ops/pallas_pack.py) — XLA's scatter-add lowering costs ~13 ns/element
+    here and dominated the whole encode (bench/probe_enc.py); elsewhere
+    (and with ``kernel_pack=False``) the XLA sorted segment-sum scatter is
+    used, which doubles as the kernel's oracle in tests.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    B, N = v.shape
+    S = N // C
+    if kernel_pack is None:
+        kernel_pack = jax.default_backend() == "tpu" and 13 * S < (1 << 13)
 
     cum = jnp.cumsum(nb, axis=1)
     tok_pos = cum - nb                       # [B, N] token start bits
@@ -381,6 +444,15 @@ def encode_ultrafast_blocked(data, lengths, num_chunks: int,
 
     rel = tok_pos - jnp.repeat(chunk_starts, S, axis=1)  # chunk-relative bits
 
+    if kernel_pack:
+        from .pallas_pack import pack_blocked_pallas, pack_tokens
+
+        wpad0 = blocked_wpad(S)
+        wwin = wpad0 + (-wpad0) % 8
+        tok = pack_tokens(v, nb, rel, C)
+        win = pack_blocked_pallas(tok, wwin)
+        return win, chunk_bits.astype(i32)
+
     # Pair-combine (S is even, so pairs never straddle a chunk boundary).
     v0 = v[:, 0::2].astype(u32)
     v1 = v[:, 1::2].astype(u32)
@@ -394,37 +466,41 @@ def encode_ultrafast_blocked(data, lengths, num_chunks: int,
     LANE = 128
     L = B * C
     LB = -(-L // 1024)
+
     wi = rel_pair >> 5
     sh = (rel_pair & 31).astype(u32)
     lo = (vp << sh).astype(u32)
     hi = ((vp >> 1) >> (31 - sh).astype(u32)).astype(u32)
     valid = npair > 0
 
+    # Scatter into a LANE-MAJOR [L, wpad] buffer first: the flat index
+    # (lane * wpad + wi) is globally ascending in token order (streams,
+    # then chunks, then bits), so XLA takes the sorted-scatter fast path —
+    # the word-major layout the kernel wants would interleave lanes per
+    # word and cost ~6x in scatter time (measured: 325 ms vs ~55 ms for
+    # 16 MiB).  One dense transpose then produces [LB, wpad, 8, 128].
     Np = N // 2
     brow = jax.lax.broadcasted_iota(i32, (B, Np), 0)
     pcol = jax.lax.broadcasted_iota(i32, (B, Np), 1)
     lane = brow * C + (pcol * 2) // S
-    lb = lane // 1024
-    sub = (lane // LANE) % 8
-    ln = lane % LANE
-    flat0 = ((lb * wpad + wi) * 8 + sub) * LANE + ln
-    total = LB * wpad * 8 * LANE
+    flat0 = lane * wpad + wi
+    total = LB * 1024 * wpad
     flat_lo = jnp.where(valid, flat0, total)
-    flat_hi = jnp.where(valid, flat0 + 8 * LANE, total)  # wi+1, same lane
+    flat_hi = jnp.where(valid, flat0 + 1, total)  # wi+1, same lane
     win = jax.ops.segment_sum(
         jnp.where(valid, lo.astype(i32), 0).reshape(-1),
         flat_lo.reshape(-1),
         num_segments=total + 1,
+        indices_are_sorted=True,
     )
     win = win + jax.ops.segment_sum(
         jnp.where(valid, hi.astype(i32), 0).reshape(-1),
         flat_hi.reshape(-1),
         num_segments=total + 1,
+        indices_are_sorted=True,
     )
-    win = win[:total].reshape(LB, wpad, 8, LANE)
-
-    adler = adler32_batch(data, lengths)
-    return win, chunk_bits.astype(i32), adler
+    win = win[:total].reshape(LB, 8, LANE, wpad).transpose(0, 3, 1, 2)
+    return win, chunk_bits.astype(i32)
 
 
 def adler32_batch(data, lengths):

@@ -342,6 +342,49 @@ def fused_ultrafast_roundtrip_v2(C: int, N: int, U: int = 32):
     return step
 
 
+def fused_adaptive_roundtrip(C: int, N: int, U: int = 8):
+    """Adaptive-tree fused pipeline: on-device tree build -> blocked encode
+    -> canonical Pallas decode with runtime tables -> checksum verify.
+
+    Like fused_ultrafast_roundtrip_v2 but the Huffman tree is built on
+    device for THIS batch (ops/adaptive: histogram -> length-limited DP ->
+    canonical codes), closing the reference's per-block dynamic-table
+    capability (src/lib.rs:42-101, src/huffman.rs:18-184) with zero host
+    round-trips.  The decode kernel executable is shared with the
+    trained-tree pipeline (tables are runtime SMEM inputs).
+
+    Returns fn(data u8[B, N], lengths i32[B]) ->
+      (out_sm, bpos_ok bool[B], ck_ok bool[B], total_bits i32).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.adaptive import encode_adaptive_blocked
+    from ..ops.pallas_decode2 import adler_step_major, decode_blocked
+
+    assert N % C == 0
+    S = N // C
+    T = S // 4
+
+    def step(data, lengths):
+        B = data.shape[0]
+        win, chunk_bits, adler, lens, meta, tabp = encode_adaptive_blocked(
+            data, lengths, C
+        )
+        out_sm, bpos = decode_blocked(
+            win, T=T, U=U, lane_major=False, tables=(meta, tabp)
+        )
+        L = B * C
+        bp = bpos.reshape(-1)[:L].reshape(B, C)
+        offs = jnp.arange(C, dtype=jnp.int32)[None, :] * S
+        full = offs + S <= lengths.astype(jnp.int32)[:, None]
+        bpos_ok = jnp.all((bp == chunk_bits) | ~full, axis=1)
+        ck = adler_step_major(out_sm, B, C, S, lengths)
+        ck_ok = ck == adler
+        return out_sm, bpos_ok, ck_ok, jnp.sum(chunk_bits)
+
+    return step
+
+
 def fused_ultrafast_roundtrip(C: int, max_steps: int, N: int, chain: int = 4,
                               ptr_rounds: int | None = None,
                               lut_matmul: bool = False):
