@@ -46,7 +46,9 @@ def correctness(B=4, N=65536, C=128, U=32):
     # host-side corner turn for the byte comparison
     out = np.asarray(out_sm)          # [LB, T, 8, 128]
     L = B * C
-    lanes = np.transpose(out, (0, 2, 3, 1)).reshape(-1, S // 4)[:L]
+    lanes = np.ascontiguousarray(
+        np.transpose(out, (0, 2, 3, 1)).reshape(-1, S // 4)[:L]
+    )
     decoded = lanes.astype("<i4").view(np.uint8).reshape(B, N)
     bp = np.asarray(bpos).reshape(-1)[:L].reshape(B, C)
     ok_bytes = bool((decoded == data).all())
@@ -101,9 +103,13 @@ def timing(B=16, N=1 << 20, C=512, U=32, repeats=4):
 
 
 if __name__ == "__main__":
+    import os
+
     print("backend:", jax.default_backend())
     which = sys.argv[1:] or ["correct", "time"]
+    C = int(os.environ.get("PROBE_C", "512"))
+    U = int(os.environ.get("PROBE_U", "32"))
     if "correct" in which:
         correctness()
     if "time" in which:
-        timing()
+        timing(C=C, U=U)

@@ -325,7 +325,22 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
     bounds = [meta_ref[0, l] for l in range(MAXL + 1)]
     kvals = [meta_ref[0, 16 + l] for l in range(MAXL + 1)]
 
+    # Both lookups below are select-reduce scans with DYNAMIC bounds: a
+    # scalar min/max over the lane block bounds the scan to the index range
+    # actually present this step.  Lanes in a block decode the same corpus
+    # at the same byte rate, so their stream positions cluster (refill scans
+    # a few 8-word groups, not all wwin), and exact-Kraft canonical codes
+    # map ANY 12-bit peek to idx < nsyms with frequent symbols first (the
+    # symbol scan covers the hot prefix, not all 256 pairs).  Worst case
+    # degrades to the full scan, never past it.
+
     def word_at(widx):
+        # Clamp to the window: padding lanes decode garbage from all-zero
+        # windows and can push widx past wwin; out-of-range lanes read 0
+        # (exactly like the old full scan, which simply never matched).
+        glo = jnp.minimum(jnp.min(widx) >> 3, wwin // 8)
+        ghi = jnp.minimum((jnp.max(widx) >> 3) + 1, wwin // 8)
+
         def body(g, acc):
             w0 = g * 8
             for j in range(8):
@@ -334,11 +349,12 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
             return acc
 
         return jax.lax.fori_loop(
-            0, wwin // 8, body, jnp.zeros((8, LANE), i32)
+            glo, ghi, body, jnp.zeros((8, LANE), i32)
         )
 
     def sym_lookup(idx):
         pidx = idx >> 1
+        ghi = jnp.minimum((jnp.max(pidx) >> 3) + 1, npairs // 8)
 
         def body(g, acc):
             p0 = g * 8
@@ -348,7 +364,7 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
             return acc
 
         accp = jax.lax.fori_loop(
-            0, npairs // 8, body, jnp.zeros((8, LANE), i32)
+            0, ghi, body, jnp.zeros((8, LANE), i32)
         )
         return (accp >> ((idx & 1) * 16)) & 0x7FFF
 

@@ -307,23 +307,29 @@ def encode_ultrafast_batch(
     hi = ((vp >> 1) >> (31 - sh).astype(u32)).astype(u32)
     valid = npair > 0
 
+    # Empty pairs contribute 0 at their natural slot: an empty token's
+    # position equals the next symbol's start bit, so the flat index stream
+    # is genuinely nondecreasing and ``indices_are_sorted=True`` is a true
+    # promise.  (Routing empties to a dump segment past the end — the
+    # previous formulation — interleaves out-of-order indices, and the TPU
+    # sorted-scatter lowering then silently corrupts neighbouring words;
+    # measured 881k bad words on a 16 MiB batch, bench/debug_enc2048.py.)
     Np = N // 2
     row = jax.lax.broadcasted_iota(i32, (B, Np), 0)
-    flat_lo = jnp.where(valid, row * W + wi, B * W)  # invalid -> dropped slot
-    flat_hi = jnp.where(valid, row * W + wi + 1, B * W)
+    flat = row * W + wi
     words = jax.ops.segment_sum(
         jnp.where(valid, lo.astype(i32), 0).reshape(-1),
-        flat_lo.reshape(-1),
-        num_segments=B * W + 1,
+        flat.reshape(-1),
+        num_segments=B * W,
         indices_are_sorted=True,
     )
     words = words + jax.ops.segment_sum(
         jnp.where(valid, hi.astype(i32), 0).reshape(-1),
-        flat_hi.reshape(-1),
-        num_segments=B * W + 1,
+        (flat + 1).reshape(-1),
+        num_segments=B * W,
         indices_are_sorted=True,
     )
-    words = words[: B * W].reshape(B, W).astype(u32)
+    words = words.reshape(B, W).astype(u32)
 
     # OR in the constant header and the per-stream EOF token.
     hdr = jnp.asarray(_header_words(16))
@@ -483,23 +489,26 @@ def _pack_blocked(v, nb, at_extra, C: int, kernel_pack: bool | None = None):
     brow = jax.lax.broadcasted_iota(i32, (B, Np), 0)
     pcol = jax.lax.broadcasted_iota(i32, (B, Np), 1)
     lane = brow * C + (pcol * 2) // S
+    # Empty pairs scatter 0 at their natural slot (an empty token's rel is
+    # the next symbol's start), keeping the index stream genuinely sorted —
+    # see the matching comment in encode_ultrafast_batch: a dump segment
+    # past the end breaks the sortedness promise and the TPU sorted-scatter
+    # lowering silently corrupts the windows (bench/debug_enc2048.py).
     flat0 = lane * wpad + wi
     total = LB * 1024 * wpad
-    flat_lo = jnp.where(valid, flat0, total)
-    flat_hi = jnp.where(valid, flat0 + 1, total)  # wi+1, same lane
     win = jax.ops.segment_sum(
         jnp.where(valid, lo.astype(i32), 0).reshape(-1),
-        flat_lo.reshape(-1),
-        num_segments=total + 1,
+        flat0.reshape(-1),
+        num_segments=total,
         indices_are_sorted=True,
     )
     win = win + jax.ops.segment_sum(
         jnp.where(valid, hi.astype(i32), 0).reshape(-1),
-        flat_hi.reshape(-1),
-        num_segments=total + 1,
+        (flat0 + 1).reshape(-1),  # wi+1, same lane
+        num_segments=total,
         indices_are_sorted=True,
     )
-    win = win[:total].reshape(LB, 8, LANE, wpad).transpose(0, 3, 1, 2)
+    win = win.reshape(LB, 8, LANE, wpad).transpose(0, 3, 1, 2)
     return win, chunk_bits.astype(i32)
 
 

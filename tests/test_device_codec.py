@@ -390,3 +390,74 @@ class TestPallasDecodeKernel:
         back = decompress_batch_pallas(streams, index)
         for r, e in zip(back, datas):
             assert r == e
+
+
+class TestSortedScatterPromise:
+    """The encoders declare ``indices_are_sorted=True`` on their pack
+    scatters; XLA:TPU's sorted-scatter lowering silently corrupts output
+    when that promise is broken (881k bad words on a 16 MiB batch when
+    empty pairs were routed to a past-the-end dump segment — see
+    bench/debug_enc2048.py).  Run the encoders eagerly with segment_sum
+    wrapped to verify every sorted-scatter's index stream really is
+    nondecreasing, on run-heavy adversarial data where empty pairs
+    interleave densely with real ones.
+    """
+
+    def _checked(self, monkeypatch):
+        import jax
+
+        orig = jax.ops.segment_sum
+        calls = []
+
+        def checked(data, segment_ids, **kw):
+            if kw.get("indices_are_sorted"):
+                ids = np.asarray(segment_ids)
+                assert (np.diff(ids) >= 0).all(), \
+                    "indices_are_sorted promise violated"
+                calls.append(ids.size)
+            return orig(data, segment_ids, **kw)
+
+        monkeypatch.setattr(jax.ops, "segment_sum", checked)
+        return calls
+
+    def _adversarial(self, rng, B, N):
+        data = np.zeros((B, N), np.uint8)
+        data[0] = rng.integers(0, 256, N, dtype=np.uint8)   # no runs
+        row = rng.integers(0, 256, N, dtype=np.uint8)       # dense short runs
+        row[rng.random(N) < 0.6] = 0
+        data[1] = row
+        data[2, N // 3 : 2 * N // 3] = 7                    # long middle run
+        # data[3] all zeros: every pair empty after the run heads
+        return data
+
+    def test_linear_encoder_indices_sorted(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.ops.ultrafast_kernel import encode_ultrafast_batch
+
+        calls = self._checked(monkeypatch)
+        B, N = 4, 4096
+        data = self._adversarial(rng, B, N)
+        lengths = np.array([N, N, N - 5, 0], np.int32)
+        encode_ultrafast_batch(jnp.asarray(data), jnp.asarray(lengths),
+                               lut_matmul=False)
+        assert calls, "sorted scatters were not exercised"
+
+    def test_blocked_encoder_indices_sorted(self, rng, monkeypatch):
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.ops.ultrafast_kernel import (
+            _assign_tokens,
+            _pack_blocked,
+        )
+
+        calls = self._checked(monkeypatch)
+        B, N, C = 4, 4096, 8
+        S = N // C
+        data = self._adversarial(rng, B, N)
+        lengths = np.array([N, N, N - 8, 0], np.int32)
+        v, nb, at_extra, _ = _assign_tokens(
+            jnp.asarray(data), jnp.asarray(lengths), False, S
+        )
+        _pack_blocked(v, nb, at_extra, C, kernel_pack=False)
+        assert calls, "sorted scatters were not exercised"
