@@ -102,6 +102,34 @@ def timing(B=16, N=1 << 20, C=512, U=32, repeats=4):
           f"{t_dec*1e3:.1f} ms ({B*N/t_dec/1e9:.2f} GB/s)")
 
 
+def timing_decode_only(B=16, N=1 << 20, C=512, U=32, repeats=6):
+    """Direct decode timing: pre-encode once, time decode_blocked alone."""
+    S = N // C
+    data = make_idat(B, N)
+    lengths = jnp.asarray(np.full(B, N, np.int32))
+    enc = jax.jit(lambda d, ln: encode_ultrafast_blocked(d, ln, C))
+    win, chunk_bits, _ = enc(jnp.asarray(data), lengths)
+    win = jax.block_until_ready(win)
+
+    @jax.jit
+    def dec_scalar(w):
+        out_sm, bpos = decode_blocked(w, T=S // 4, U=U, lane_major=False)
+        return jnp.sum(out_sm), jnp.sum(bpos)
+
+    r = dec_scalar(win)
+    _ = int(np.asarray(r[0]))
+    ts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        r = dec_scalar(win)
+        _ = int(np.asarray(r[0]))
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+    print(f"decode_only {B}x{N>>20}MiB C={C} U={U}: {t*1e3:.1f} ms "
+          f"({B*N/t/1e9:.2f} GB/s)  [all repeats ms: "
+          f"{', '.join(f'{x*1e3:.1f}' for x in ts)}]")
+
+
 if __name__ == "__main__":
     import os
 
@@ -113,3 +141,5 @@ if __name__ == "__main__":
         correctness()
     if "time" in which:
         timing(C=C, U=U)
+    if "deconly" in which:
+        timing_decode_only(C=C, U=U)
