@@ -287,7 +287,7 @@ def _kernel(win_ref, tab_ref, out_ref, bpos_ref, state, *,
 
 
 def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
-                  wwin: int, U: int, lane_major: bool):
+                  wwin: int, U: int, lane_major: bool, R: int = 1):
     """Compile-light kernel body: identical semantics to ``_kernel``.
 
     Canonical-decode metadata (bounds/kvals) arrives as a runtime SMEM
@@ -311,6 +311,17 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
     * the lane-block window is never materialized as a value (the original
       ``win = win_ref[0]`` forces ~wwin vector registers through every
       unrolled select, which Mosaic must spill).
+
+    ``R`` decodes R independent lane-blocks per kernel instance with their
+    elementwise chains interleaved in the instruction stream.  The decode
+    step is one long serial dependency chain; VPU calibration
+    (bench/probe_vpu.py) measures ~1.3 ns/op for a serial chain vs
+    ~0.2 ns/op for 8 interleaved chains, i.e. a fully serial kernel leaves
+    ~5x of the issue width idle.  R-way interleaving recovers it: all state
+    becomes length-R lists, and the two dynamic-bound scans (window refill,
+    symbol lookup) are merged across the R blocks so their loop bodies
+    interleave too (bounds = union over blocks; the per-iteration loads are
+    per-block but the R select chains stay independent).
     """
     import jax
     import jax.numpy as jnp
@@ -321,12 +332,23 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
     sb = pl.program_id(1)
     num_sb = pl.num_programs(1)
     npairs = _TAB_PAD // 2
+    RR = range(R)
 
-    bounds = [meta_ref[0, l] for l in range(MAXL + 1)]
-    kvals = [meta_ref[0, 16 + l] for l in range(MAXL + 1)]
+    def zeros():
+        return jnp.zeros((8, LANE), i32)
+
+    # Hoisted VECTOR copies of the canonical metadata.  A scalar (SMEM)
+    # operand inside a vector op forces a scalar->vector broadcast at every
+    # use site, and Mosaic does not CSE them: the step loop's compare/select
+    # chains emitted ~170 broadcasts per decode step (measured via the
+    # debug=True module dump), which dominated the kernel at ~7 us/step.
+    # Materializing each scalar as an (8,128) vreg ONCE turns all of them
+    # into vector-vector ops.
+    bounds = [zeros() + meta_ref[0, l] for l in range(MAXL + 1)]
+    kvals = [zeros() + meta_ref[0, 16 + l] for l in range(MAXL + 1)]
 
     # Both lookups below are select-reduce scans with DYNAMIC bounds: a
-    # scalar min/max over the lane block bounds the scan to the index range
+    # scalar min/max over the lane blocks bounds the scan to the index range
     # actually present this step.  Lanes in a block decode the same corpus
     # at the same byte rate, so their stream positions cluster (refill scans
     # a few 8-word groups, not all wwin), and exact-Kraft canonical codes
@@ -335,50 +357,67 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
     # degrades to the full scan, never past it.
 
     def word_at(widx):
-        # Clamp to the window: padding lanes decode garbage from all-zero
-        # windows and can push widx past wwin; out-of-range lanes read 0
-        # (exactly like the old full scan, which simply never matched).
-        glo = jnp.minimum(jnp.min(widx) >> 3, wwin // 8)
-        ghi = jnp.minimum((jnp.max(widx) >> 3) + 1, wwin // 8)
+        # widx: R arrays.  Clamp to the window: padding lanes decode garbage
+        # from all-zero windows and can push widx past wwin; out-of-range
+        # lanes read 0 (exactly like a full scan, which simply never
+        # matched).
+        glo_s, ghi_s = jnp.min(widx[0]), jnp.max(widx[0])
+        for r in range(1, R):
+            glo_s = jnp.minimum(glo_s, jnp.min(widx[r]))
+            ghi_s = jnp.maximum(ghi_s, jnp.max(widx[r]))
+        glo = jnp.minimum(glo_s >> 3, wwin // 8)
+        ghi = jnp.minimum((ghi_s >> 3) + 1, wwin // 8)
 
-        def body(g, acc):
+        def body(g, accs):
+            accs = list(accs)
             w0 = g * 8
+            # one broadcast of the loop counter per iteration; the eight
+            # per-word compares are then vector-vs-constant (no broadcasts)
+            rel = [widx[r] - (zeros() + w0) for r in RR]
             for j in range(8):
-                v = win_ref[0, w0 + j]
-                acc = jnp.where(widx == w0 + j, v, acc)
-            return acc
+                for r in RR:
+                    v = win_ref[r, w0 + j]
+                    accs[r] = jnp.where(rel[r] == j, v, accs[r])
+            return tuple(accs)
 
-        return jax.lax.fori_loop(
-            glo, ghi, body, jnp.zeros((8, LANE), i32)
-        )
+        return list(jax.lax.fori_loop(
+            glo, ghi, body, tuple(zeros() for _ in RR)
+        ))
 
     def sym_lookup(idx):
-        pidx = idx >> 1
-        ghi = jnp.minimum((jnp.max(pidx) >> 3) + 1, npairs // 8)
+        pidx = [ix >> 1 for ix in idx]
+        m = jnp.max(pidx[0])
+        for r in range(1, R):
+            m = jnp.maximum(m, jnp.max(pidx[r]))
+        ghi = jnp.minimum((m >> 3) + 1, npairs // 8)
 
-        def body(g, acc):
+        def body(g, accs):
+            accs = list(accs)
             p0 = g * 8
+            rel = [pidx[r] - (zeros() + p0) for r in RR]
             for j in range(8):
-                v = tab_ref[0, p0 + j]
-                acc = jnp.where(pidx == p0 + j, v, acc)
-            return acc
+                v = zeros() + tab_ref[0, p0 + j]
+                for r in RR:
+                    accs[r] = jnp.where(rel[r] == j, v, accs[r])
+            return tuple(accs)
 
-        accp = jax.lax.fori_loop(
-            0, ghi, body, jnp.zeros((8, LANE), i32)
-        )
-        return (accp >> ((idx & 1) * 16)) & 0x7FFF
+        accp = jax.lax.fori_loop(0, ghi, body, tuple(zeros() for _ in RR))
+        return [(accp[r] >> ((idx[r] & 1) * 16)) & 0x7FFF for r in RR]
 
-    # state rows: 0 pos, 1 run_rem, 2 base, 3..7 w0..w4 (160-bit window)
+    # state rows per block: 0 pos, 1 run_rem, 2 base, 3..7 w0..w4 (160 bits)
     @pl.when(sb == 0)
     def _init():
-        state[0] = jnp.zeros((8, LANE), i32)
-        state[1] = jnp.zeros((8, LANE), i32)
-        state[2] = jnp.zeros((8, LANE), i32)
-        for j in range(5):
-            state[3 + j] = win_ref[0, j]
+        for r in RR:
+            state[r, 0] = zeros()
+            state[r, 1] = zeros()
+            state[r, 2] = zeros()
+            for j in range(5):
+                state[r, 3 + j] = win_ref[r, j]
 
-    pos, run_rem, base = state[0], state[1], state[2]
-    w = [state[3 + j] for j in range(5)]
+    pos = [state[r, 0] for r in RR]
+    run_rem = [state[r, 1] for r in RR]
+    base = [state[r, 2] for r in RR]
+    w = [[state[r, 3 + j] for j in range(5)] for r in RR]
 
     def bitrev12(x):
         x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
@@ -387,91 +426,106 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
         x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
         return x >> 4
 
+    def peek32(r, pos_off_r, o):
+        oo = pos_off_r + o
+        wsel = oo >> 5
+        a = w[r][3]
+        b = w[r][4]
+        for j in (2, 1, 0):
+            a = jnp.where(wsel == j, w[r][j], a)
+            b = jnp.where(wsel == j, w[r][j + 1], b)
+        a = a.astype(u32)
+        b = b.astype(u32)
+        sh = (oo & 31).astype(u32)
+        return (a >> sh) | jnp.where(
+            sh == 0, u32(0), b << ((32 - (oo & 31)).astype(u32) & 31)
+        )
+
     for u in range(U):
-        pos_off = pos - (base << 5)
+        pos_off = [pos[r] - (base[r] << 5) for r in RR]
 
-        def peek32(o):
-            oo = pos_off + o
-            wsel = oo >> 5
-            a = w[3]
-            b = w[4]
-            for j in (2, 1, 0):
-                a = jnp.where(wsel == j, w[j], a)
-                b = jnp.where(wsel == j, w[j + 1], b)
-            a = a.astype(u32)
-            b = b.astype(u32)
-            sh = (oo & 31).astype(u32)
-            return (a >> sh) | jnp.where(
-                sh == 0, u32(0), b << ((32 - (oo & 31)).astype(u32) & 31)
-            )
-
-        consumed = jnp.zeros((8, LANE), i32)
-        word = jnp.zeros((8, LANE), u32)
-        filled = jnp.zeros((8, LANE), i32)
+        consumed = [zeros() for _ in RR]
+        word = [zeros().astype(u32) for _ in RR]
+        filled = [zeros() for _ in RR]
         for _sub in range(4):
-            space = 4 - filled
-            take = jnp.minimum(run_rem, space)
-            filled = filled + take
-            run_rem = run_rem - take
+            need, bits, r12 = [None] * R, [None] * R, [None] * R
+            for r in RR:
+                space = 4 - filled[r]
+                take = jnp.minimum(run_rem[r], space)
+                filled[r] = filled[r] + take
+                run_rem[r] = run_rem[r] - take
+                need[r] = (filled[r] < 4) & (run_rem[r] == 0)
+                bits[r] = peek32(r, pos_off[r], consumed[r])
+                r12[r] = bitrev12((bits[r] & 0xFFF).astype(i32))
+            L, idx = [None] * R, [None] * R
+            for r in RR:
+                Lr = jnp.ones((8, LANE), i32)
+                for l in range(1, MAXL):
+                    Lr = Lr + (r12[r] >= bounds[l]).astype(i32)
+                Kv = zeros() + kvals[MAXL]
+                for l in range(1, MAXL):
+                    Kv = jnp.where(Lr == l, kvals[l], Kv)
+                L[r] = Lr
+                idx[r] = Kv + (r12[r] >> (MAXL - Lr))
+            e = sym_lookup([jnp.where(need[r], idx[r], 0) for r in RR])
+            for r in RR:
+                val = e[r] & 0x1FF
+                extra = (e[r] >> 9) & 0xF
+                cls = e[r] >> 13
 
-            need = (filled < 4) & (run_rem == 0)
-            bits = peek32(consumed)
-            r12 = bitrev12((bits & 0xFFF).astype(i32))
-            L = jnp.ones((8, LANE), i32)
-            for l in range(1, MAXL):
-                L = L + (r12 >= bounds[l]).astype(i32)
-            Kv = jnp.zeros((8, LANE), i32) + kvals[MAXL]
-            for l in range(1, MAXL):
-                Kv = jnp.where(L == l, kvals[l], Kv)
-            idx = Kv + (r12 >> (MAXL - L))
-            e = sym_lookup(jnp.where(need, idx, 0))
-            val = e & 0x1FF
-            extra = (e >> 9) & 0xF
-            cls = e >> 13
+                is_lit = need[r] & (cls == _CLS_LIT)
+                is_run = need[r] & (cls == _CLS_LEN)
+                word[r] = word[r] | jnp.where(
+                    is_lit,
+                    val.astype(u32) << (filled[r] * 8).astype(u32),
+                    u32(0),
+                )
+                filled[r] = filled[r] + is_lit.astype(i32)
+                run_val = val + ((bits[r] >> L[r].astype(u32)).astype(i32)
+                                 & ((1 << extra) - 1))
+                run_rem[r] = jnp.where(is_run, run_val, run_rem[r])
+                consumed[r] = consumed[r] + jnp.where(
+                    is_lit, L[r], jnp.where(is_run, L[r] + extra + 1, 0)
+                )
 
-            is_lit = need & (cls == _CLS_LIT)
-            is_run = need & (cls == _CLS_LEN)
-            word = word | jnp.where(
-                is_lit, val.astype(u32) << (filled * 8).astype(u32), u32(0)
-            )
-            filled = filled + is_lit.astype(i32)
-            run_val = val + ((bits >> L.astype(u32)).astype(i32)
-                             & ((1 << extra) - 1))
-            run_rem = jnp.where(is_run, run_val, run_rem)
-            consumed = consumed + jnp.where(
-                is_lit, L, jnp.where(is_run, L + extra + 1, 0)
-            )
+        for r in RR:
+            take = jnp.minimum(run_rem[r], 4 - filled[r])
+            filled[r] = filled[r] + take
+            run_rem[r] = run_rem[r] - take
 
-        take = jnp.minimum(run_rem, 4 - filled)
-        filled = filled + take
-        run_rem = run_rem - take
-
-        pos = pos + consumed
-        if lane_major:
-            out_ref[0, :, :, u] = word.astype(i32)
-        else:
-            out_ref[0, u] = word.astype(i32)
+            pos[r] = pos[r] + consumed[r]
+            if lane_major:
+                out_ref[r, :, :, u] = word[r].astype(i32)
+            else:
+                out_ref[r, u] = word[r].astype(i32)
 
         # Refill: valid streams consume <= 62 bits/step -> <= 2 new words.
         for _ in range(2):
-            need_r = (pos >> 5) > base
-            for j in range(4):
-                w[j] = jnp.where(need_r, w[j + 1], w[j])
-            base = jnp.where(need_r, base + 1, base)
-            w[4] = jnp.where(need_r, word_at(base + 4), w[4])
+            need_f = [(pos[r] >> 5) > base[r] for r in RR]
+            for r in RR:
+                for j in range(4):
+                    w[r][j] = jnp.where(need_f[r], w[r][j + 1], w[r][j])
+                base[r] = jnp.where(need_f[r], base[r] + 1, base[r])
+            neww = word_at([base[r] + 4 for r in RR])
+            for r in RR:
+                w[r][4] = jnp.where(need_f[r], neww[r], w[r][4])
 
-    state[0], state[1], state[2] = pos, run_rem, base
-    for j in range(5):
-        state[3 + j] = w[j]
+    for r in RR:
+        state[r, 0] = pos[r]
+        state[r, 1] = run_rem[r]
+        state[r, 2] = base[r]
+        for j in range(5):
+            state[r, 3 + j] = w[r][j]
 
     @pl.when(sb == num_sb - 1)
     def _finish():
-        bpos_ref[0] = state[0]
+        for r in RR:
+            bpos_ref[r] = state[r, 0]
 
 
 def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
                    lane_major: bool | None = None, light: bool = True,
-                   tables=None):
+                   tables=None, R: int | None = None):
     """Decode fixed-geometry lane-blocked streams.
 
     Args:
@@ -490,6 +544,13 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
       tables: optional (meta i32[1, 32], tabp i32[1, 256]) runtime
         canonical tree (ops/adaptive.decode_meta); None selects the
         trained PNG tree.  Light kernel only.
+      R: lane-blocks interleaved per kernel instance (light kernel).  The
+        decode step is a serial dependency chain; R independent chains fill
+        the VPU issue pipeline (bench/probe_vpu.py: ~5x idle width at R=1).
+        None -> largest of {1, 2, 4, 8} dividing LB whose VMEM working set
+        (R window blocks + output block) stays under ~30 MiB (a 27 MiB
+        working set is measured-good on TPU v5e: R=8 at S=2048 runs and
+        beats R=1 by 1.4x).
 
     Returns (out, bpos i32[LB, 8, 128]) — bpos is each lane's final bit
     position (== the encoder's chunk_bits when the decode is exact).
@@ -516,9 +577,27 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         win = jnp.pad(win, ((0, 0), (0, pad), (0, 0), (0, 0)))
         wwin += pad
 
+    if not light:
+        R = 1
+    elif R is None:
+        blk_bytes = (wwin + U) * 8 * LANE * 4
+        R = 1
+        for cand in (2, 4, 8):
+            if LB % cand == 0 and cand * blk_bytes <= 30 << 20:
+                R = cand
+    if R > 1 and LB % R != 0:
+        # Pad with zero-window lane-blocks (they decode garbage harmlessly —
+        # same contract as padding lanes) and slice the outputs back.
+        pad_lb = (-LB) % R
+        win = jnp.pad(win, ((0, pad_lb), (0, 0), (0, 0), (0, 0)))
+        out, bpos = decode_blocked(
+            win, T, U=U, interpret=interpret, lane_major=lane_major,
+            light=light, tables=tables, R=R)
+        return out[:LB], bpos[:LB]
+
     if light:
         kern = functools.partial(
-            _kernel_light, wwin=wwin, U=U, lane_major=lane_major,
+            _kernel_light, wwin=wwin, U=U, lane_major=lane_major, R=R,
         )
     else:
         assert tables is None, "runtime tables need the light kernel"
@@ -527,11 +606,11 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
             lane_major=lane_major,
         )
     if lane_major:
-        out_spec = pl.BlockSpec((1, 8, LANE, U), lambda lb, sb: (lb, 0, 0, sb),
+        out_spec = pl.BlockSpec((R, 8, LANE, U), lambda lb, sb: (lb, 0, 0, sb),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((LB, 8, LANE, T), jnp.int32)
     else:
-        out_spec = pl.BlockSpec((1, U, 8, LANE), lambda lb, sb: (lb, sb, 0, 0),
+        out_spec = pl.BlockSpec((R, U, 8, LANE), lambda lb, sb: (lb, sb, 0, 0),
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((LB, T, 8, LANE), jnp.int32)
     if light:
@@ -551,12 +630,13 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         else:
             meta_arg, tab_arg = tables
         in_specs = [
-            pl.BlockSpec((1, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
+            pl.BlockSpec((R, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ]
         args = (win, tab_arg, meta_arg)
+        scratch = pltpu.VMEM((R, 8, 8, LANE), jnp.int32)
     else:
         in_specs = [
             pl.BlockSpec((1, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
@@ -564,20 +644,21 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ]
         args = (win, jnp.asarray(packed.reshape(1, _TAB_PAD)))
+        scratch = pltpu.VMEM((8, 8, LANE), jnp.int32)
     f = pl.pallas_call(
         kern,
-        grid=(LB, SB),
+        grid=(LB // R, SB),
         in_specs=in_specs,
         out_specs=[
             out_spec,
-            pl.BlockSpec((1, 8, LANE), lambda lb, sb: (lb, 0, 0),
+            pl.BlockSpec((R, 8, LANE), lambda lb, sb: (lb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             out_shape,
             jax.ShapeDtypeStruct((LB, 8, LANE), jnp.int32),
         ],
-        scratch_shapes=[pltpu.VMEM((8, 8, LANE), jnp.int32)],
+        scratch_shapes=[scratch],
         interpret=interpret,
     )
     out, bpos = f(*args)
