@@ -43,6 +43,27 @@ def corpora():
     return out
 
 
+def emulated_fdeflate(data: bytes, level: int) -> int:
+    """Size the reference encoder would emit: the statement-level-faithful
+    Python port (models/) with the demotion pass disabled — byte-for-byte
+    the reference's symbol choices and block serialization
+    (src/compress/bitstream.rs:143-194).  Stands in for the real fdeflate,
+    which can't run here (no Rust toolchain in this image)."""
+    from fdeflate_tpu.models import bitstream
+    from fdeflate_tpu.models.compressor import (
+        _compress_to_vec_with_level_python,
+    )
+
+    old = bitstream.ENABLE_DEMOTION
+    bitstream.ENABLE_DEMOTION = False
+    try:
+        out = _compress_to_vec_with_level_python(data, level)
+    finally:
+        bitstream.ENABLE_DEMOTION = old
+    assert zlib.decompress(bytes(out)) == data
+    return len(out)
+
+
 def main():
     rows = []
     for name, data in corpora():
@@ -54,13 +75,14 @@ def main():
             if zlib.decompress(bytes(ours)) != data:
                 ok = False
             cells.append(str(len(ours)))
+            cells.append(str(emulated_fdeflate(data, lvl)))
             cells.append(str(len(zlib.compress(data, lvl))))
         assert ok, name
         rows.append(cells)
 
     hdr = ["corpus", "raw", "ours uf"]
     for lvl in LEVELS:
-        hdr += [f"ours L{lvl}", f"zlib L{lvl}"]
+        hdr += [f"ours L{lvl}", f"fde* L{lvl}", f"zlib L{lvl}"]
     lines = [
         "| " + " | ".join(hdr) + " |",
         "|" + "---|" * len(hdr),
@@ -71,10 +93,18 @@ def main():
 
     doc = f"""# Compressed-size comparison
 
-Methodology: the reference's size claims ("meaningfully outperforms zlib-rs
-at levels 1-3, slightly better at 4-7", README.md:27) can't be re-measured
-directly — no Rust toolchain exists in this image (BASELINE.md) — so zlib
-(the C library, via Python) is the measurable stand-in at matching levels.
+Methodology: no Rust toolchain exists in this image (BASELINE.md), so the
+real fdeflate can't run here.  Two stand-ins bracket it:
+
+* `fde*` — **emulated fdeflate**: the statement-level-faithful port of the
+  reference's parse/match/bitstream layers (models/) with this framework's
+  demotion pass disabled, i.e. the reference's exact symbol choices and
+  block serialization.  `ours <= fde*` at every level is enforced by
+  tests/test_compress.py::test_size_le_emulated_fdeflate (the BASELINE.json
+  "size <= fdeflate at every level" criterion).
+* `zlib` — the C library via Python, for the reference's "outperforms
+  zlib-rs" claims (README.md:27) at matching levels.
+
 Corpora: the reference's four synthetic 1 MiB distributions
 (benches/bench.rs) plus the Sub-filtered PNG-IDAT corpus (bench.py).
 Regenerate with `python bench/sizes.py --write`.
