@@ -337,15 +337,23 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
     def zeros():
         return jnp.zeros((8, LANE), i32)
 
-    # Hoisted VECTOR copies of the canonical metadata.  A scalar (SMEM)
-    # operand inside a vector op forces a scalar->vector broadcast at every
-    # use site, and Mosaic does not CSE them: the step loop's compare/select
-    # chains emitted ~170 broadcasts per decode step (measured via the
-    # debug=True module dump), which dominated the kernel at ~7 us/step.
-    # Materializing each scalar as an (8,128) vreg ONCE turns all of them
-    # into vector-vector ops.
-    bounds = [zeros() + meta_ref[0, l] for l in range(MAXL + 1)]
-    kvals = [zeros() + meta_ref[0, 16 + l] for l in range(MAXL + 1)]
+    # The canonical metadata and the pair-packed symbol table arrive as
+    # PRE-BROADCAST VMEM inputs (meta_ref i32[32, 8, 128]: row l = bounds[l],
+    # row 16+l = kvals[l]; tab_ref i32[npairs, 8, 128]: row p = pair p).  A
+    # scalar (SMEM) operand inside a vector op forces a scalar->vector
+    # broadcast at every use site, and Mosaic does not CSE them: with the
+    # metadata in SMEM the step loop's compare/select chains emitted ~170
+    # `vector.broadcast`s per decode step (measured via the debug=True
+    # module dump), which dominated the kernel at ~7 us/step — scans, sub
+    # arithmetic, and program size all ablated to noise next to it
+    # (bench/probe_ablate.py).  Replicated VMEM rows turn every use into a
+    # plain vector load; indexing per USE (not hoisting 26 row values to
+    # kernel scope) keeps register pressure flat so R=8 doesn't spill.
+    def bound_v(l):
+        return meta_ref[l]
+
+    def kval_v(l):
+        return meta_ref[16 + l]
 
     # Both lookups below are select-reduce scans with DYNAMIC bounds: a
     # scalar min/max over the lane blocks bounds the scan to the index range
@@ -396,7 +404,7 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
             p0 = g * 8
             rel = [pidx[r] - (zeros() + p0) for r in RR]
             for j in range(8):
-                v = zeros() + tab_ref[0, p0 + j]
+                v = tab_ref[p0 + j]
                 for r in RR:
                     accs[r] = jnp.where(rel[r] == j, v, accs[r])
             return tuple(accs)
@@ -461,10 +469,10 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
             for r in RR:
                 Lr = jnp.ones((8, LANE), i32)
                 for l in range(1, MAXL):
-                    Lr = Lr + (r12[r] >= bounds[l]).astype(i32)
-                Kv = zeros() + kvals[MAXL]
+                    Lr = Lr + (r12[r] >= bound_v(l)).astype(i32)
+                Kv = zeros() + kval_v(MAXL)
                 for l in range(1, MAXL):
-                    Kv = jnp.where(Lr == l, kvals[l], Kv)
+                    Kv = jnp.where(Lr == l, kval_v(l), Kv)
                 L[r] = Lr
                 idx[r] = Kv + (r12[r] >> (MAXL - Lr))
             e = sym_lookup([jnp.where(need[r], idx[r], 0) for r in RR])
@@ -614,26 +622,39 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
                                 memory_space=pltpu.VMEM)
         out_shape = jax.ShapeDtypeStruct((LB, T, 8, LANE), jnp.int32)
     if light:
-        # Two 15-bit entries per int32, in SMEM: the kernel reads the table
-        # with scalar dynamic loads (lane-indexed VMEM access would not
-        # lower), and pairing halves the select-reduce depth.  Canonical
-        # metadata rides along as a second SMEM input so one executable
-        # serves any tree.
+        # Two 15-bit entries per int32.  Table and canonical metadata are
+        # PRE-BROADCAST across the (8, 128) lane grid and passed in VMEM
+        # (~1.1 MiB total): every kernel use is then a plain vector load.
+        # SMEM scalars here would cost a scalar->vector broadcast per use
+        # site (~170/step, the round-2 kernel's dominant cost — see
+        # _kernel_light).  Runtime (meta, tabp) rows from ops/adaptive keep
+        # the one-executable-per-geometry property: the broadcast happens
+        # outside the kernel, so any <=12-bit canonical tree still hits the
+        # same compiled kernel.
+        npairs = _TAB_PAD // 2
         if tables is None:
             p64 = packed.astype(np.int64)
             tab = (p64[0::2] | (p64[1::2] << 16)).astype(np.int32)
-            tab_arg = jnp.asarray(tab.reshape(1, _TAB_PAD // 2))
+            tab_arg = jnp.asarray(np.ascontiguousarray(
+                np.broadcast_to(tab[:, None, None], (npairs, 8, LANE))))
             meta_np = np.zeros(32, np.int32)
             meta_np[: MAXL + 1] = bounds
             meta_np[16 : 16 + MAXL + 1] = kvals
-            meta_arg = jnp.asarray(meta_np.reshape(1, 32))
+            meta_arg = jnp.asarray(np.ascontiguousarray(
+                np.broadcast_to(meta_np[:, None, None], (32, 8, LANE))))
         else:
-            meta_arg, tab_arg = tables
+            meta_in, tab_in = tables
+            meta_arg = jnp.broadcast_to(
+                meta_in.reshape(32, 1, 1), (32, 8, LANE))
+            tab_arg = jnp.broadcast_to(
+                tab_in.reshape(npairs, 1, 1), (npairs, 8, LANE))
         in_specs = [
             pl.BlockSpec((R, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((npairs, 8, LANE), lambda lb, sb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 8, LANE), lambda lb, sb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ]
         args = (win, tab_arg, meta_arg)
         scratch = pltpu.VMEM((R, 8, 8, LANE), jnp.int32)
