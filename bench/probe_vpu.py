@@ -49,12 +49,21 @@ def _body_op(a, b, kind):
     raise ValueError(kind)
 
 
-def _chain_kernel(x_ref, o_ref, *, n: int, kind: str, width: int):
+def _chain_kernel(x_ref, s_ref, o_ref, *, n: int, kind: str, width: int):
     b = x_ref[0] + 1
     init = [x_ref[0] + i for i in range(width)]
 
-    def body(_, chains):
+    def body(i, chains):
         out = list(chains)
+        if kind == "bcast":
+            # one scalar->vector broadcast per chain step: the SMEM index is
+            # loop- and step-variant so neither MLIR CSE nor Mosaic can
+            # hoist the broadcast — the pattern the decode kernel had before
+            # pre-broadcast VMEM metadata (pallas_decode2).
+            for _u in range(UNROLL):
+                for w in range(width):
+                    out[w] = out[w] + s_ref[0, (i + _u + w) & 7]
+            return tuple(out)
         for _u in range(UNROLL):
             for w in range(width):
                 out[w] = _body_op(out[w], b, kind)
@@ -72,13 +81,15 @@ def run(kind: str, n: int, width: int, repeats: int = 5, grid: int = 512):
         functools.partial(_chain_kernel, n=n, kind=kind, width=width),
         grid=(grid,),
         in_specs=[pl.BlockSpec((1, 8, LANE), lambda i: (0, 0, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.SMEM)],
         out_specs=pl.BlockSpec((1, 8, LANE), lambda i: (0, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, 8, LANE), jnp.int32),
     )
     x = jnp.asarray(np.random.randint(1, 1000, (1, 8, LANE), np.int32))
-    g = jax.jit(lambda x: jnp.sum(f(x)))
+    s = jnp.asarray(np.arange(1, 9, dtype=np.int32).reshape(1, 8))
+    g = jax.jit(lambda x: jnp.sum(f(x, s)))
     _ = int(np.asarray(g(x)))
     ts = []
     for _ in range(repeats):
@@ -92,7 +103,7 @@ def main():
     grid = 512
     n_lo, n_hi = 2048, 16384
     ops_per_iter = {"add": 1, "select": 3, "mix": 7, "varshift": 2,
-                    "varshl": 2, "cast": 3}
+                    "varshl": 2, "cast": 3, "bcast": 1}
     for kind in (sys.argv[1:] or ["add", "select", "mix"]):
         for width in (1, 8):
             t_lo = run(kind, n_lo, width, grid=grid)
