@@ -1,0 +1,176 @@
+"""Hardware measurement session for the post-broadcast-fix decode kernel.
+
+Polls for TPU availability (the axon tunnel drops occasionally), then runs:
+  1. decode_blocked R/U sweep at the bench operating point
+  2. probe_vpu bcast calibration (scalar-broadcast cost confirmation)
+
+Run: python bench/hw_session.py   (prints results; safe to re-run)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def wait_for_tpu(max_wait_s: float = 86400.0) -> bool:
+    """Poll until jax sees a TPU.  Each probe runs in a subprocess so a
+    hung backend init can't wedge this process."""
+    import subprocess
+
+    t0 = time.time()
+    while time.time() - t0 < max_wait_s:
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert jax.devices()[0].platform != 'cpu'"],
+                capture_output=True, timeout=120,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass  # backend init hung: tunnel still down
+        print(f"[hw_session] tpu not up ({time.time()-t0:.0f}s)", flush=True)
+        time.sleep(60)
+    return False
+
+
+def sweep():
+    import jax
+    import jax.numpy as jnp
+
+    from probe_decode2 import make_idat
+    from fdeflate_tpu.ops.ultrafast_kernel import encode_ultrafast_blocked
+    from fdeflate_tpu.ops.pallas_decode2 import decode_blocked
+
+    B, N, C = 16, 1 << 20, 512
+    S = N // C
+    data = make_idat(B, N)
+    lengths = jnp.asarray(np.full(B, N, np.int32))
+    enc = jax.jit(lambda d, ln: encode_ultrafast_blocked(d, ln, C))
+    win, chunk_bits, _ = enc(jnp.asarray(data), lengths)
+    win = jax.block_until_ready(win)
+    cb = np.asarray(chunk_bits)
+
+    for U, R in ((32, 1), (32, 4), (32, 8), (128, 8)):
+        @jax.jit
+        def dec(w, U=U, R=R):
+            out_sm, bpos = decode_blocked(w, T=S // 4, U=U,
+                                          lane_major=False, R=R)
+            return jnp.sum(out_sm), bpos
+
+        try:
+            t0 = time.perf_counter()
+            r = dec(win)
+            bp = np.asarray(r[1])
+            print(f"U={U} R={R}: compile+run {time.perf_counter()-t0:.0f}s",
+                  flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"U={U} R={R}: FAIL {type(e).__name__}: {str(e)[:160]}",
+                  flush=True)
+            continue
+        ok = bool((bp.reshape(-1)[: B * C].reshape(B, C) == cb).all())
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            r = dec(win)
+            _ = int(np.asarray(r[0]))
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        print(f"U={U} R={R}: {t*1e3:6.1f} ms  {B*N/t/1e9:.3f} GB/s  ok={ok}",
+              flush=True)
+
+
+def enc_sweep():
+    """Blocked-encoder throughput by chunk count: above S=630 the Pallas
+    pack kernel can't engage (token bit-packing range) and the XLA scatter
+    packs instead — quantify what the bench loses at its C=512 default."""
+    import jax
+    import jax.numpy as jnp
+
+    from probe_decode2 import make_idat
+    from fdeflate_tpu.ops.ultrafast_kernel import encode_ultrafast_blocked
+    from fdeflate_tpu.ops.pallas_decode2 import decode_blocked
+
+    B, N = 16, 1 << 20
+    data = make_idat(B, N)
+    lengths = jnp.asarray(np.full(B, N, np.int32))
+    d = jax.device_put(jnp.asarray(data))
+
+    for C in (512, 1024, 2048, 4096):
+        S = N // C
+
+        @jax.jit
+        def enc(dd, ln, C=C):
+            win, bits, adler = encode_ultrafast_blocked(dd, ln, C)
+            return jnp.sum(win), jnp.sum(bits) + jnp.sum(
+                adler.astype(jnp.int32))
+
+        try:
+            r = enc(d, lengths)
+            _ = int(np.asarray(r[0]))
+        except Exception as e:  # noqa: BLE001
+            print(f"enc C={C}: FAIL {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            continue
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            r = enc(d, lengths)
+            _ = int(np.asarray(r[0]))
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        print(f"enc C={C} (S={S}): {t*1e3:6.1f} ms  {B*N/t/1e9:.3f} GB/s",
+              flush=True)
+
+        # decode at the same C, auto U/R
+        from fdeflate_tpu.ops.ultrafast_kernel import (
+            encode_ultrafast_blocked as _e,
+        )
+        win, chunk_bits, _a = jax.jit(
+            lambda dd, ln, C=C: _e(dd, ln, C))(d, lengths)
+        win = jax.block_until_ready(win)
+        cb = np.asarray(chunk_bits)
+
+        @jax.jit
+        def dec(w, S=S):
+            out_sm, bpos = decode_blocked(w, T=S // 4, U=32,
+                                          lane_major=False)
+            return jnp.sum(out_sm), bpos
+
+        try:
+            r = dec(win)
+            bp = np.asarray(r[1])
+        except Exception as e:  # noqa: BLE001
+            print(f"dec C={C}: FAIL {type(e).__name__}: {str(e)[:120]}",
+                  flush=True)
+            continue
+        ok = bool((bp.reshape(-1)[: B * C].reshape(B, C) == cb).all())
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            r = dec(win)
+            _ = int(np.asarray(r[0]))
+            ts.append(time.perf_counter() - t0)
+        t = min(ts)
+        print(f"dec C={C} (S={S}): {t*1e3:6.1f} ms  {B*N/t/1e9:.3f} GB/s"
+              f"  ok={ok}", flush=True)
+
+
+def main():
+    if not wait_for_tpu():
+        print("[hw_session] gave up waiting for TPU", flush=True)
+        return
+    print("[hw_session] TPU is up", flush=True)
+    sweep()
+    enc_sweep()
+
+
+if __name__ == "__main__":
+    main()
