@@ -430,7 +430,7 @@ def _pack_blocked(v, nb, at_extra, C: int, kernel_pack: bool | None = None):
     B, N = v.shape
     S = N // C
     if kernel_pack is None:
-        kernel_pack = jax.default_backend() == "tpu" and 13 * S < (1 << 13)
+        kernel_pack = jax.default_backend() == "tpu"
 
     cum = jnp.cumsum(nb, axis=1)
     tok_pos = cum - nb                       # [B, N] token start bits
@@ -451,12 +451,16 @@ def _pack_blocked(v, nb, at_extra, C: int, kernel_pack: bool | None = None):
     rel = tok_pos - jnp.repeat(chunk_starts, S, axis=1)  # chunk-relative bits
 
     if kernel_pack:
-        from .pallas_pack import pack_blocked_pallas, pack_tokens
+        # Linear-work pack kernel: per word group only the pair range that
+        # can touch it is scanned (block-level monotone bounds computed
+        # here in XLA).  No chunk-size limit; the quadratic all-pairs
+        # kernel (pack_blocked_pallas) remains for A/B.
+        from .pallas_pack import pack_blocked_pallas_v2, pack_tokens_v2
 
         wpad0 = blocked_wpad(S)
         wwin = wpad0 + (-wpad0) % 8
-        tok = pack_tokens(v, nb, rel, C)
-        win = pack_blocked_pallas(tok, wwin)
+        tok, relp, npair = pack_tokens_v2(v, nb, rel, C)
+        win = pack_blocked_pallas_v2(tok, relp, npair, wwin)
         return win, chunk_bits.astype(i32)
 
     # Pair-combine (S is even, so pairs never straddle a chunk boundary).

@@ -461,3 +461,62 @@ class TestSortedScatterPromise:
         )
         _pack_blocked(v, nb, at_extra, C, kernel_pack=False)
         assert calls, "sorted scatters were not exercised"
+
+
+class TestPackKernelV2:
+    """Linear-work Pallas pack kernel (ops/pallas_pack.pack_blocked_pallas_v2)
+    vs the XLA sorted-scatter oracle, bit-exact in interpret mode — including
+    chunk sizes past the old token-packing limit (S > 630)."""
+
+    def _adversarial(self, rng, B, N):
+        data = np.zeros((B, N), np.uint8)
+        data[0] = rng.integers(0, 256, N, dtype=np.uint8)
+        row = rng.integers(0, 256, N, dtype=np.uint8)
+        row[rng.random(N) < 0.6] = 0
+        data[1] = row
+        data[2, N // 3 : 2 * N // 3] = 7
+        return data
+
+    @pytest.mark.parametrize("C", [8, 2])  # S = 512 and 2048
+    def test_pack_v2_matches_oracle(self, rng, C):
+        import jax
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.ops.pallas_pack import (
+            pack_blocked_pallas_v2,
+            pack_tokens_v2,
+        )
+        from fdeflate_tpu.ops.ultrafast_kernel import (
+            _assign_tokens,
+            _pack_blocked,
+            blocked_wpad,
+        )
+
+        B, N = 4, 4096
+        S = N // C
+        data = self._adversarial(rng, B, N)
+        lengths = np.array([N, N, N - 8, 0], np.int32)
+        v, nb, at_extra, _ = _assign_tokens(
+            jnp.asarray(data), jnp.asarray(lengths), False, S
+        )
+        win_ref, cb_ref = _pack_blocked(v, nb, at_extra, C,
+                                        kernel_pack=False)
+
+        cum = jnp.cumsum(nb, axis=1)
+        tok_pos = cum - nb
+        eof = cum[:, -1]
+        sym_start = (nb > 0) & ~at_extra
+        masked = jnp.where(sym_start, tok_pos, eof[:, None])
+        suffix_min = jax.lax.cummin(masked[:, ::-1], axis=1)[:, ::-1]
+        cs = suffix_min[:, ::S].at[:, 0].set(0)
+        rel = tok_pos - jnp.repeat(cs, S, axis=1)
+        wpad0 = blocked_wpad(S)
+        wwin = wpad0 + (-wpad0) % 8
+        tok, relp, npair = pack_tokens_v2(v, nb, rel, C)
+        win_k = pack_blocked_pallas_v2(tok, relp, npair, wwin)
+
+        wr = np.asarray(win_ref)
+        wk = np.asarray(win_k)
+        m = min(wr.shape[1], wk.shape[1])
+        assert (wr[:, :m] == wk[:, :m]).all()
+        assert not wr[:, m:].any() and not wk[:, m:].any()
