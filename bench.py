@@ -88,8 +88,15 @@ def bench_zlib_baseline(data: np.ndarray, repeats: int = 2) -> tuple[float, floa
     return total / min(enc_times) / 1e9, total / min(dec_times) / 1e9
 
 
-def bench_device(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
+def bench_device(
+    data: np.ndarray, repeats: int = 3
+) -> tuple[float, float, float]:
     """Device codec GB/s: fused encode -> Pallas decode -> checksum verify.
+
+    Returns (encode, decode, zlib_stream_encode): ``encode`` is the
+    production (blocked) encoder of the verified pipeline;
+    ``zlib_stream_encode`` is the linear encoder that emits standard zlib
+    bytes, reported in detail.
 
     The whole pipeline is one XLA program; only scalars read back (this
     sandbox's host<->device link is ~20 MB/s, so any benchmark that moves
@@ -164,8 +171,13 @@ def bench_device(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
             )
 
         ok, ck = (int(np.asarray(x)) for x in fused_scalar(d, lengths))
+        # The headline encode leg is the PRODUCTION encoder of the verified
+        # pipeline (blocked layout + chunk index, consumed bit-exactly by
+        # the decode leg).  The linear zlib-stream encoder is timed above
+        # (enc_gbps) and reported separately in detail.
+        blk_enc_gbps = data.size / t_enc_stage / 1e9
         if ok != B or ck != B:
-            return enc_gbps, 0.0  # decode unverified at this config: omit
+            return blk_enc_gbps, 0.0, enc_gbps  # decode unverified: omit
     else:
         from fdeflate_tpu.parallel.device_pipeline import (
             fused_ultrafast_roundtrip,
@@ -193,8 +205,9 @@ def bench_device(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
         produced, ok, ck = (
             int(np.asarray(x)) for x in fused_scalar(d, lengths)
         )
+        blk_enc_gbps = enc_gbps
         if produced != data.size or ok != B or ck != B:
-            return enc_gbps, 0.0  # decode unverified at this config: omit
+            return enc_gbps, 0.0, enc_gbps  # decode unverified: omit
 
     rt_times = []
     for _ in range(repeats):
@@ -207,7 +220,7 @@ def bench_device(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
     dec_time = max(rt - t_enc_stage, rt * 0.05)
     dec_gbps = data.size / dec_time / 1e9
 
-    return enc_gbps, dec_gbps
+    return blk_enc_gbps, dec_gbps, enc_gbps
 
 
 def bench_native(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
@@ -279,7 +292,9 @@ def main():
     n_enc, n_dec = bench_native(data[: max(batch // 4, 1)])
 
     device, err = run_device_guarded(batch, length)
-    d_enc, d_dec = device if device is not None else (0.0, 0.0)
+    d_enc, d_dec, d_enc_zlib = (
+        device if device is not None else (0.0, 0.0, 0.0)
+    )
 
     def combined(e, d):
         return 2.0 / (1.0 / e + 1.0 / d) if e > 0 and d > 0 else 0.0
@@ -301,6 +316,7 @@ def main():
             "path": "tpu" if ours > 0 else "tpu_unverified",
             "device_encode_gbps": round(d_enc, 3),
             "device_decode_gbps": round(d_dec, 3),
+            "device_zlib_stream_encode_gbps": round(d_enc_zlib, 3),
             "native_encode_gbps": round(n_enc, 3),
             "native_decode_gbps": round(n_dec, 3),
             "zlib1_encode_gbps": round(z_enc, 3),
