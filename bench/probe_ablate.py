@@ -1,18 +1,24 @@
 """Ablation timing for the v2 decode kernel: where do the cycles go?
 
-Clones ``_kernel_light`` (fdeflate_tpu/ops/pallas_decode2.py) with switches
-that stub out one cost center at a time.  Stubbed variants produce WRONG
-bytes — only the full variant is checked — but each keeps real data
-dependencies so Mosaic cannot dead-code the remaining work.
+Clones ``_kernel_light`` (fdeflate_tpu/ops/pallas_decode2.py, the
+pre-broadcast-VMEM-inputs design) with switches that stub out one cost
+center at a time.  Stubbed variants produce WRONG bytes — only full/static
+are checked — but each keeps real data dependencies so Mosaic cannot
+dead-code the remaining work.
 
 Variants:
-  full        — production kernel (correct; baseline)
+  full        — production kernel structure (correct; baseline)
   static      — dynamic-bound fori_loops replaced by full static scans
-                (correct; isolates the cross-lane min/max + scalar trip cost)
+                (correct; isolates the cross-lane min/max + trip savings)
+  fixedbounds — 4-group static scans, NO cross-lane reductions (wrong
+                bytes; isolates the min/max reduction cost)
   nosym       — sym_lookup returns a constant-composed entry (no table scan)
   norefill    — window refill never scans (wrong past 160 bits; upper bound)
+  noscan      — nosym + norefill (floor of the pure step arithmetic)
   nolen       — length compare chain replaced by L=9 (wrong; bounds cost)
   nopeek      — peek32 returns the first window word only (wrong)
+  twosub      — 2 decode sub-iterations per word instead of 4 (wrong byte
+                accounting; scales the per-sub arithmetic volume)
 """
 
 from __future__ import annotations
@@ -47,14 +53,19 @@ def _kernel_abl(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
     npairs = _TAB_PAD // 2
     dyn = abl != "static"
 
-    bounds = [meta_ref[0, l] for l in range(MAXL + 1)]
-    kvals = [meta_ref[0, 16 + l] for l in range(MAXL + 1)]
+    def zeros():
+        return jnp.zeros((8, LANE), i32)
+
+    def bound_v(l):
+        return meta_ref[l]
+
+    def kval_v(l):
+        return meta_ref[16 + l]
 
     def word_at(widx):
         if abl in ("norefill", "noscan"):
             return widx  # dependency-preserving stub
         if abl == "fixedbounds":
-            # timing-only: a 4-group scan with NO cross-lane reduction
             glo, ghi = 0, 4
         elif dyn:
             glo = jnp.minimum(jnp.min(widx) >> 3, wwin // 8)
@@ -64,12 +75,13 @@ def _kernel_abl(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
 
         def body(g, acc):
             w0 = g * 8
+            rel = widx - (zeros() + w0)
             for j in range(8):
                 v = win_ref[0, w0 + j]
-                acc = jnp.where(widx == w0 + j, v, acc)
+                acc = jnp.where(rel == j, v, acc)
             return acc
 
-        return jax.lax.fori_loop(glo, ghi, body, jnp.zeros((8, LANE), i32))
+        return jax.lax.fori_loop(glo, ghi, body, zeros())
 
     def sym_lookup(idx):
         if abl in ("nosym", "noscan"):
@@ -84,19 +96,20 @@ def _kernel_abl(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
 
         def body(g, acc):
             p0 = g * 8
+            rel = pidx - (zeros() + p0)
             for j in range(8):
-                v = tab_ref[0, p0 + j]
-                acc = jnp.where(pidx == p0 + j, v, acc)
+                v = tab_ref[p0 + j]
+                acc = jnp.where(rel == j, v, acc)
             return acc
 
-        accp = jax.lax.fori_loop(0, ghi, body, jnp.zeros((8, LANE), i32))
+        accp = jax.lax.fori_loop(0, ghi, body, zeros())
         return (accp >> ((idx & 1) * 16)) & 0x7FFF
 
     @pl.when(sb == 0)
     def _init():
-        state[0] = jnp.zeros((8, LANE), i32)
-        state[1] = jnp.zeros((8, LANE), i32)
-        state[2] = jnp.zeros((8, LANE), i32)
+        state[0] = zeros()
+        state[1] = zeros()
+        state[2] = zeros()
         for j in range(5):
             state[3 + j] = win_ref[0, j]
 
@@ -130,9 +143,9 @@ def _kernel_abl(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
                 sh == 0, u32(0), b << ((32 - (oo & 31)).astype(u32) & 31)
             )
 
-        consumed = jnp.zeros((8, LANE), i32)
-        word = jnp.zeros((8, LANE), u32)
-        filled = jnp.zeros((8, LANE), i32)
+        consumed = zeros()
+        word = zeros().astype(u32)
+        filled = zeros()
         nsub = 2 if abl == "twosub" else 4
         for _sub in range(nsub):
             space = 4 - filled
@@ -144,15 +157,15 @@ def _kernel_abl(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
             bits = peek32(consumed)
             if abl == "nolen":
                 L = jnp.full((8, LANE), 9, i32) + (bits & 0).astype(i32)
-                Kv = jnp.zeros((8, LANE), i32)
+                Kv = zeros()
             else:
                 r12 = bitrev12((bits & 0xFFF).astype(i32))
                 L = jnp.ones((8, LANE), i32)
                 for l in range(1, MAXL):
-                    L = L + (r12 >= bounds[l]).astype(i32)
-                Kv = jnp.zeros((8, LANE), i32) + kvals[MAXL]
+                    L = L + (r12 >= bound_v(l)).astype(i32)
+                Kv = zeros() + kval_v(MAXL)
                 for l in range(1, MAXL):
-                    Kv = jnp.where(L == l, kvals[l], Kv)
+                    Kv = jnp.where(L == l, kval_v(l), Kv)
             if abl == "nolen":
                 idx = (bits & 0xFF).astype(i32)
             else:
@@ -208,14 +221,17 @@ def decode_abl(win, T: int, U: int, abl: str):
         win = jnp.pad(win, ((0, 0), (0, pad), (0, 0), (0, 0)))
         wwin += pad
     SB = T // U
+    npairs = _TAB_PAD // 2
     bounds, kvals, packed = canonical_meta()
     p64 = packed.astype(np.int64)
     tab = (p64[0::2] | (p64[1::2] << 16)).astype(np.int32)
-    tab_arg = jnp.asarray(tab.reshape(1, _TAB_PAD // 2))
+    tab_arg = jnp.asarray(np.ascontiguousarray(
+        np.broadcast_to(tab[:, None, None], (npairs, 8, LANE))))
     meta_np = np.zeros(32, np.int32)
     meta_np[: MAXL + 1] = bounds
     meta_np[16: 16 + MAXL + 1] = kvals
-    meta_arg = jnp.asarray(meta_np.reshape(1, 32))
+    meta_arg = jnp.asarray(np.ascontiguousarray(
+        np.broadcast_to(meta_np[:, None, None], (32, 8, LANE))))
 
     f = pl.pallas_call(
         functools.partial(_kernel_abl, wwin=wwin, U=U, abl=abl),
@@ -223,8 +239,10 @@ def decode_abl(win, T: int, U: int, abl: str):
         in_specs=[
             pl.BlockSpec((1, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((npairs, 8, LANE), lambda lb, sb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 8, LANE), lambda lb, sb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, U, 8, LANE), lambda lb, sb: (lb, sb, 0, 0),
@@ -257,7 +275,8 @@ def main():
     cb = np.asarray(chunk_bits)
 
     variants = sys.argv[1:] or [
-        "full", "static", "nosym", "norefill", "nolen", "nopeek"]
+        "full", "static", "fixedbounds", "nosym", "norefill", "noscan",
+        "nolen", "nopeek", "twosub"]
     for abl in variants:
         @jax.jit
         def dec_scalar(w, abl=abl):
@@ -275,7 +294,7 @@ def main():
             ts.append(time.perf_counter() - t0)
         t = min(ts)
         tag = "" if ok is None else f"  bpos_ok={ok}"
-        print(f"{abl:9s}: {t*1e3:6.1f} ms  ({B*N/t/1e9:.2f} GB/s){tag}",
+        print(f"{abl:11s}: {t*1e3:6.1f} ms  ({B*N/t/1e9:.2f} GB/s){tag}",
               flush=True)
 
 
