@@ -370,7 +370,8 @@ def blocked_wpad(S: int) -> int:
 
 
 def encode_ultrafast_blocked(data, lengths, num_chunks: int,
-                             lut_matmul: bool | None = None):
+                             lut_matmul: bool | None = None,
+                             kernel_pack: bool | None = None):
     """Fixed-geometry, lane-blocked ultra-fast encode.
 
     Splits every stream into ``C = num_chunks`` chunks of exactly ``S = N/C``
@@ -404,7 +405,8 @@ def encode_ultrafast_blocked(data, lengths, num_chunks: int,
         )
 
     v, nb, at_extra, aligned = _assign_tokens(data, lengths, lut_matmul, S)
-    win, chunk_bits = _pack_blocked(v, nb, at_extra, C)
+    win, chunk_bits = _pack_blocked(v, nb, at_extra, C,
+                                    kernel_pack=kernel_pack)
     adler = adler32_batch(data, lengths)
     return win, chunk_bits, adler
 
