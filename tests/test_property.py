@@ -7,6 +7,7 @@ an external decoder; streaming chunk patterns never change results.
 """
 
 import io
+import os
 import zlib
 
 import numpy as np
@@ -18,6 +19,12 @@ try:
     HAVE_HYPOTHESIS = True
 except ImportError:  # pragma: no cover
     HAVE_HYPOTHESIS = False
+
+# Continuous-fuzzing analogue (reference: cargo-fuzz runs unbounded).  The
+# default example counts keep CI fast; FDN_FUZZ_SCALE=N multiplies every
+# property's budget for long fuzzing sessions, e.g.
+#   FDN_FUZZ_SCALE=50 python -m pytest tests/test_property.py -q
+_FUZZ_SCALE = max(1, int(os.environ.get("FDN_FUZZ_SCALE", "1")))
 
 import fdeflate_tpu as F
 from fdeflate_tpu import errors as E
@@ -48,7 +55,7 @@ if HAVE_HYPOTHESIS:
     )
 
     @given(payloads, st.integers(0, 9))
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * _FUZZ_SCALE, deadline=None)
     def test_compress_roundtrip_all_levels(data, level):
         """fuzz/deflate.rs analogue: flate2's role is played by zlib."""
         compressed = F.compress_to_vec_with_level(data, level)
@@ -56,13 +63,13 @@ if HAVE_HYPOTHESIS:
         assert F.decompress_to_vec(compressed) == data
 
     @given(payloads)
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * _FUZZ_SCALE, deadline=None)
     def test_ultrafast_roundtrip(data):
         compressed = F.compress_to_vec_ultra_fast(data)
         assert zlib.decompress(compressed) == data
 
     @given(st.binary(max_size=600))
-    @settings(max_examples=80, deadline=None)
+    @settings(max_examples=80 * _FUZZ_SCALE, deadline=None)
     def test_arbitrary_input_never_crashes(data):
         """fuzz/inflate.rs analogue: decode arbitrary bytes; compare with
         zlib where both succeed."""
@@ -79,7 +86,7 @@ if HAVE_HYPOTHESIS:
         assert ours == theirs
 
     @given(payloads, st.integers(1, 9), st.lists(st.integers(1, 50), min_size=1, max_size=30))
-    @settings(max_examples=40, deadline=None)
+    @settings(max_examples=40 * _FUZZ_SCALE, deadline=None)
     def test_chunked_decode_equivalence(data, level, chunks):
         """fuzz/inflate_bytewise3.rs analogue: any chunk pattern decodes
         identically to whole-buffer decode."""
@@ -116,7 +123,7 @@ if HAVE_HYPOTHESIS:
 
     @given(st.one_of(st.binary(max_size=600),
                      payloads.map(lambda p: zlib.compress(p, 6))))
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * _FUZZ_SCALE, deadline=None)
     def test_output_bytewise_equivalence(data):
         """fuzz/inflate_bytewise.rs analogue: presenting the OUTPUT buffer
         one byte at a time must match whole-buffer decode, on valid and
@@ -132,7 +139,7 @@ if HAVE_HYPOTHESIS:
             assert r_whole == r_byte
 
     @given(st.binary(max_size=600))
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * _FUZZ_SCALE, deadline=None)
     def test_arbitrary_input_bytewise_chunking(data):
         """fuzz/inflate_bytewise2.rs analogue: input fed one byte at a
         time (on ARBITRARY bytes, not just valid streams) gives the same
@@ -146,7 +153,7 @@ if HAVE_HYPOTHESIS:
     @given(st.one_of(st.binary(max_size=600),
                      payloads.map(lambda p: zlib.compress(p, 4))),
            st.integers(0, 600))
-    @settings(max_examples=60, deadline=None)
+    @settings(max_examples=60 * _FUZZ_SCALE, deadline=None)
     def test_split_two_reads(data, cut):
         """fuzz/inflate_split.rs analogue: one read vs the same input
         split across exactly two reads."""
@@ -158,7 +165,7 @@ if HAVE_HYPOTHESIS:
         assert r1 == r2
 
     @given(payloads, st.lists(st.integers(0, 2000), max_size=10))
-    @settings(max_examples=30, deadline=None)
+    @settings(max_examples=30 * _FUZZ_SCALE, deadline=None)
     def test_streamed_compressor_writes(data, splits):
         """fuzz/stored.rs + deflate.rs analogue: arbitrary write_data calls."""
         c = F.Compressor(level=1)
