@@ -170,6 +170,26 @@ def main():
     print("[hw_session] TPU is up", flush=True)
     sweep()
     enc_sweep()
+    import subprocess
+    here = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(here)
+    for desc, args, tmo in (
+        ("probe_ablate", [sys.executable, os.path.join(here, "probe_ablate.py"),
+                          "full", "static", "fixedbounds", "noscan", "twosub"], 1800),
+        ("probe_vpu bcast", [sys.executable, os.path.join(here, "probe_vpu.py"),
+                             "bcast"], 900),
+        ("bench.py", [sys.executable, os.path.join(root, "bench.py")], 1800),
+    ):
+        print(f"[hw_session] === {desc} ===", flush=True)
+        try:
+            r = subprocess.run(args, capture_output=True, text=True,
+                               timeout=tmo, cwd=root)
+            print(r.stdout, flush=True)
+            if r.returncode != 0:
+                print(f"[hw_session] {desc} rc={r.returncode}:\n"
+                      + r.stderr[-2000:], flush=True)
+        except subprocess.TimeoutExpired:
+            print(f"[hw_session] {desc} timed out", flush=True)
 
 
 if __name__ == "__main__":
