@@ -11,11 +11,14 @@ Usage: python examples/png_idat.py input.png output.png [level|uf]
 
 from __future__ import annotations
 
+import os
 import struct
 import sys
 import zlib
 
-import fdeflate_tpu as F
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import fdeflate_tpu as F  # noqa: E402
 
 
 def read_chunks(data: bytes):
