@@ -171,3 +171,45 @@ def roundtrip_step(mesh, max_steps: int = 512, chunks: int = 4):
         check_rep=False,
     )
     return jax.jit(mapped)
+
+
+def roundtrip_step_v2(mesh, chunks: int = 8, U: int | None = None):
+    """Sharded codec step on the round-2 flagship engine (v2 Pallas
+    pipeline): blocked ultra-fast encode -> canonical fixed-geometry
+    decode -> on-device Adler verify, data-parallel over ``streams`` with
+    psum/pmean verification collectives (same shape as roundtrip_step).
+
+    fn(data u8[B, N]) -> (bpos_ok bool[B], ck_ok bool[B], total i32):
+    ``total`` is the mesh-wide count of verified bytes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .device_pipeline import fused_ultrafast_roundtrip_v2
+
+    def local(data_slice):
+        Bs, N = data_slice.shape
+        S = N // chunks
+        u = U if U is not None else (32 if (S // 4) % 32 == 0 else S // 4)
+        step = fused_ultrafast_roundtrip_v2(chunks, N=N, U=u)
+        lengths = jnp.full((Bs,), N, jnp.int32)
+        _out_sm, bpos_ok, ck_ok = step(data_slice, lengths)
+        verified = bpos_ok & ck_ok
+        total = jax.lax.pmean(
+            jax.lax.psum(
+                jnp.sum(jnp.where(verified, jnp.int32(N), 0)), "streams"
+            ),
+            "seq",
+        )
+        return bpos_ok, ck_ok, total
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P("streams", None),
+        out_specs=(P("streams"), P("streams"), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
