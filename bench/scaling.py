@@ -47,6 +47,10 @@ def main():
     per_device_streams = 2
     N = 1 << 16
 
+    pipeline = os.environ.get("FDN_SCALING_PIPELINE", "v2")
+    if pipeline == "v2":
+        from fdeflate_tpu.parallel.shard import roundtrip_step_v2
+
     results = {}
     base_time = None
     counts = [d for d in (1, 2, 4, 8, 16) if d <= total_devices]
@@ -55,7 +59,10 @@ def main():
         mesh = make_mesh((nd, seq), devices=jax.devices()[:nd])
         Bt = per_device_streams * nd
         data = jnp.asarray(B.make_idat_corpus(Bt, N))
-        step = roundtrip_step(mesh, max_steps=N // 4, chunks=4)
+        if pipeline == "v2":
+            step = roundtrip_step_v2(mesh, chunks=32)
+        else:
+            step = roundtrip_step(mesh, max_steps=N // 4, chunks=4)
         out = step(data)
         total = int(np.asarray(out[2]))
         assert total == Bt * N, (total, Bt * N)
