@@ -567,10 +567,25 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
 
     # Pointer doubling: each round squares the resolved cross-record chain
     # depth, so ceil(log2(max record-chain depth)) rounds reach the fixed
-    # point; ext's bit length is the safe upper bound.
-    p = ptr
-    for _ in range(ptr_rounds):
-        p = jnp.take_along_axis(p, p, axis=1)
+    # point; ext's bit length is the safe upper bound.  The single-hop and
+    # dist-1 collapses above already flatten within-record and RLE chains,
+    # leaving only genuinely NESTED cross-record references — typically a
+    # handful deep — so the loop runs as a fixed-point iteration that stops
+    # as soon as a round changes nothing (a [B, ext] compare+reduce per
+    # round, ~10% of the gather it avoids) instead of always paying the
+    # log2(ext) worst-case rounds.
+    def _ptr_cond(c):
+        p, changed, i = c
+        return changed & (i < ptr_rounds)
+
+    def _ptr_body(c):
+        p, _, i = c
+        p2 = jnp.take_along_axis(p, p, axis=1)
+        return p2, jnp.any(p2 != p), i + 1
+
+    p, _, _ = jax.lax.while_loop(
+        _ptr_cond, _ptr_body, (ptr, jnp.bool_(True), jnp.int32(0))
+    )
 
     base = jnp.concatenate([window.astype(jnp.int32), vals[:, WINDOW:]], axis=1)
     out_ext = jnp.take_along_axis(base, p, axis=1)
