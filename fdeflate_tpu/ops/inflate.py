@@ -638,6 +638,41 @@ def _parse_dynamic_header(r: _HostBitReader):
     Same semantics as models/decompressor (reference: src/decompress.rs:
     415-434, 440-555) but for whole-buffer input.
     """
+    lengths, hlit = _parse_dynamic_lengths(r)
+    return _tables_from_lengths(lengths, hlit)
+
+
+def _tables_from_lengths(lengths: np.ndarray, hlit: int):
+    """Build reference-format decode tables from parsed code lengths."""
+    litlen = build_table(
+        lengths[:hlit], LITLEN_TABLE_ENTRIES, DEFAULT_LITLEN_TABLE_SIZE,
+        is_distance_table=False, double_literal=True,
+    )
+    if not litlen.ok:
+        raise E.BadCodeLengthHuffmanTree()
+    dist_lengths = lengths[288:320]
+    if not dist_lengths.any():
+        dist_primary = np.zeros(DEFAULT_DIST_TABLE_SIZE, np.uint32)
+        dist_secondary = np.zeros(0, np.uint16)
+    else:
+        dist = build_table(
+            dist_lengths, DISTANCE_TABLE_ENTRIES, DEFAULT_DIST_TABLE_SIZE,
+            is_distance_table=True, double_literal=False,
+        )
+        if not dist.ok:
+            raise E.BadDistanceHuffmanTree()
+        dist_primary = dist.primary
+        dist_secondary = dist.secondary
+    return litlen.primary, litlen.secondary, dist_primary, dist_secondary
+
+
+def _parse_dynamic_lengths(r: _HostBitReader):
+    """Parse a dynamic block header up to its code lengths.
+
+    Returns (lengths i64[320], hlit): litlen code lengths at [0:hlit]
+    (zero past hlit), distance code lengths at [288:288+hdist].  Raises
+    the same errors, in the same order, as table construction would.
+    """
     hlit = r.take(5) + 257
     hdist = r.take(5) + 1
     hclen = r.take(4) + 4
@@ -692,26 +727,7 @@ def _parse_dynamic_header(r: _HostBitReader):
 
     if lengths[256] == 0:
         raise E.BadLiteralLengthHuffmanTree()
-    litlen = build_table(
-        lengths[:hlit], LITLEN_TABLE_ENTRIES, DEFAULT_LITLEN_TABLE_SIZE,
-        is_distance_table=False, double_literal=True,
-    )
-    if not litlen.ok:
-        raise E.BadCodeLengthHuffmanTree()
-    dist_lengths = lengths[288:320]
-    if not dist_lengths.any():
-        dist_primary = np.zeros(DEFAULT_DIST_TABLE_SIZE, np.uint32)
-        dist_secondary = np.zeros(0, np.uint16)
-    else:
-        dist = build_table(
-            dist_lengths, DISTANCE_TABLE_ENTRIES, DEFAULT_DIST_TABLE_SIZE,
-            is_distance_table=True, double_literal=False,
-        )
-        if not dist.ok:
-            raise E.BadDistanceHuffmanTree()
-        dist_primary = dist.primary
-        dist_secondary = dist.secondary
-    return litlen.primary, litlen.secondary, dist_primary, dist_secondary
+    return lengths, hlit
 
 
 _FIXED_TABLES = None

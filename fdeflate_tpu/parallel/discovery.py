@@ -28,6 +28,8 @@ overruns) fall back to the sequential host/device path for the remainder.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from .. import errors as E
@@ -245,12 +247,21 @@ def decompress_foreign(data: bytes, max_steps: int = 6144) -> bytes:
     return r if r is not None else fallback()
 
 
-def try_foreign(data: bytes, max_steps: int = 6144) -> bytes | None:
+def try_foreign(data: bytes, max_steps: int = 6144,
+                engine: str = "auto") -> bytes | None:
     """`decompress_foreign` without the fallback: bytes on a confirmed,
     checksum-verified chain decode; None when the stream needs the
-    sequential path.  One decode launch + one materialize launch total."""
+    sequential path.  One decode launch + one materialize launch total.
+
+    ``engine`` selects the symbol-phase decoder: "pallas" runs the
+    canonical record kernel (ops/pallas_inflate — per-lane runtime trees,
+    ~13 ns/lane-step), "xla" the table-gather ``decode_symbols`` loop,
+    "auto" picks pallas on TPU backends and xla elsewhere (the kernel's
+    interpret mode is far too slow for production CPU decode).
+    """
     import zlib
 
+    import jax
     import jax.numpy as jnp
 
     # zlib framing: 2-byte header; first block header starts at bit 16.
@@ -259,13 +270,15 @@ def try_foreign(data: bytes, max_steps: int = 6144) -> bytes | None:
     cmf, flg = data[0], data[1]
     if cmf & 0x0F != 0x08 or ((cmf << 8) | flg) % 31 != 0 or flg & 0x20:
         return None
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     offsets, _hdr_ends = find_block_boundaries(data)
     if len(offsets) == 0 or offsets[0] != 16:
         if 16 not in set(offsets.tolist()):
             return None  # first block not dynamic (stored/fixed)
 
-    # Host: parse each candidate's header -> tables + symbol-start bit.
+    # Host: parse each candidate's header -> code lengths + symbol-start bit.
     lanes = []
     for off in offsets.tolist():
         r = I._HostBitReader(data, off)
@@ -274,63 +287,30 @@ def try_foreign(data: bytes, max_steps: int = 6144) -> bytes | None:
         if btype != 0b10:
             continue
         try:
-            tables = I._parse_dynamic_header(r)
+            lengths, hlit = I._parse_dynamic_lengths(r)
         except E.DecompressionError:
             continue
-        lanes.append((off, bool(bfinal), r.pos, tables))
+        lanes.append((off, bool(bfinal), r.pos, lengths, hlit))
     if not lanes or lanes[0][0] != 16:
         return None
 
     L = len(lanes)
-    Wmax = (len(data) + 3) // 4 + 2
-    words_np = np.zeros((1, Wmax), np.uint32)
-    padded = data + bytes((-len(data)) % 4) + bytes(8)
-    words_np[0, : len(padded) // 4] = np.frombuffer(padded, "<u4")
-
-    # Stack tables (blocks rarely share trees; no dedup needed).
-    sec_max = max(max(len(t[3][1]) for t in lanes), 1)
-    dsec_max = max(max(len(t[3][3]) for t in lanes), 1)
-    from ..tables import DEFAULT_DIST_TABLE_SIZE, DEFAULT_LITLEN_TABLE_SIZE
-
-    litlen_np = np.zeros((L, DEFAULT_LITLEN_TABLE_SIZE), np.uint32)
-    sec_np = np.zeros((L, sec_max), np.uint32)
-    dist_np = np.zeros((L, DEFAULT_DIST_TABLE_SIZE), np.uint32)
-    dsec_np = np.zeros((L, dsec_max), np.uint32)
-    starts = np.zeros(L, np.int32)
-    for i, (off, bfinal, sym_start, (ll, ls, dd, ds)) in enumerate(lanes):
-        litlen_np[i] = ll
-        sec_np[i, : len(ls)] = ls
-        dist_np[i] = dd
-        dsec_np[i, : len(ds)] = ds
-        starts[i] = sym_start
-
-    bit_end = np.int32(len(data) * 8)
-    records, (bpos, opos, status) = I.decode_symbols(
-        jnp.asarray(words_np),
-        jnp.asarray(starts),
-        jnp.full((L,), bit_end, jnp.int32),
-        jnp.full((L,), 1 << 30, jnp.int32),
-        jnp.ones((L,), bool),
-        jnp.arange(L, dtype=jnp.int32),
-        jnp.asarray(litlen_np),
-        jnp.asarray(sec_np),
-        jnp.asarray(dist_np),
-        jnp.asarray(dsec_np),
-        max_steps=max_steps,
-        chain=4,
-        stream_row=jnp.zeros((L,), jnp.int32),
-    )
-    bpos_np = np.asarray(bpos)
-    status_np = np.asarray(status)
+    if engine == "pallas":
+        decoded = _pallas_lane_decode(data, lanes, max_steps)
+        if decoded is None:
+            return None
+        records, bpos_np, eob_np = decoded
+    else:
+        records, bpos_np, eob_np = _xla_lane_decode(data, lanes, max_steps)
 
     # Chain walk: confirm blocks whose EOB exit is the next header's start.
-    by_off = {off: i for i, (off, _, _, _) in enumerate(lanes)}
+    by_off = {off: i for i, (off, *_rest) in enumerate(lanes)}
     chain: list[int] = []
     cur = 16
     final_exit = None
     while True:
         i = by_off.get(cur)
-        if i is None or status_np[i] != I._EOB:
+        if i is None or not eob_np[i]:
             return None
         chain.append(i)
         if lanes[i][1]:  # BFINAL
@@ -345,7 +325,7 @@ def try_foreign(data: bytes, max_steps: int = 6144) -> bytes | None:
     mask_np[chain] = True
     mask = jnp.asarray(mask_np)[None, :]
 
-    rl, rlh, rc, rn, rd, rp = records
+    rl, rlh, rc, rn, rd = records[:5]
     rl = jnp.where(mask, rl, 0)
     rlh = jnp.where(mask, rlh, 0)
     rc = jnp.where(mask, rc, 0)
@@ -378,3 +358,150 @@ def try_foreign(data: bytes, max_steps: int = 6144) -> bytes | None:
     if stored != zlib.adler32(result):
         return None  # chain was structurally plausible but wrong
     return result
+
+
+def _xla_lane_decode(data: bytes, lanes, max_steps: int):
+    """Decode every candidate lane with the XLA table-gather loop.
+
+    Returns (records (rl, rlh, rc, rn, rd) each [K, L], bpos i64[L],
+    eob bool[L]).
+    """
+    import jax.numpy as jnp
+
+    L = len(lanes)
+    Wmax = (len(data) + 3) // 4 + 2
+    words_np = np.zeros((1, Wmax), np.uint32)
+    padded = data + bytes((-len(data)) % 4) + bytes(8)
+    words_np[0, : len(padded) // 4] = np.frombuffer(padded, "<u4")
+
+    # Build + stack reference-format tables (blocks rarely share trees).
+    tables = []
+    for off, bfinal, sym_start, lengths, hlit in lanes:
+        tables.append(I._tables_from_lengths(lengths, hlit))
+    sec_max = max(max(len(t[1]) for t in tables), 1)
+    dsec_max = max(max(len(t[3]) for t in tables), 1)
+    from ..tables import DEFAULT_DIST_TABLE_SIZE, DEFAULT_LITLEN_TABLE_SIZE
+
+    litlen_np = np.zeros((L, DEFAULT_LITLEN_TABLE_SIZE), np.uint32)
+    sec_np = np.zeros((L, sec_max), np.uint32)
+    dist_np = np.zeros((L, DEFAULT_DIST_TABLE_SIZE), np.uint32)
+    dsec_np = np.zeros((L, dsec_max), np.uint32)
+    starts = np.zeros(L, np.int32)
+    for i, ((off, bfinal, sym_start, _le, _hl), (ll, ls, dd, ds)) in enumerate(
+            zip(lanes, tables)):
+        litlen_np[i] = ll
+        sec_np[i, : len(ls)] = ls
+        dist_np[i] = dd
+        dsec_np[i, : len(ds)] = ds
+        starts[i] = sym_start
+
+    bit_end = np.int32(len(data) * 8)
+    records, (bpos, opos, status) = I.decode_symbols(
+        jnp.asarray(words_np),
+        jnp.asarray(starts),
+        jnp.full((L,), bit_end, jnp.int32),
+        jnp.full((L,), 1 << 30, jnp.int32),
+        jnp.ones((L,), bool),
+        jnp.arange(L, dtype=jnp.int32),
+        jnp.asarray(litlen_np),
+        jnp.asarray(sec_np),
+        jnp.asarray(dist_np),
+        jnp.asarray(dsec_np),
+        max_steps=max_steps,
+        chain=4,
+        stream_row=jnp.zeros((L,), jnp.int32),
+    )
+    return (records[:5], np.asarray(bpos),
+            np.asarray(status) == I._EOB)
+
+
+_WWIN_CAP = 6144  # words: 24 KiB of compressed block per lane (VMEM bound)
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
+    """Jitted (stream upload -> window gather -> record kernel -> unpack)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_inflate as PI
+
+    nlanes = LB * 1024
+
+    @jax.jit
+    def run(words_d, starts_d, pos0_d, meta_d, tab_d):
+        words_ext = jnp.concatenate([words_d, jnp.zeros((1,), jnp.int32)])
+        idx = jnp.minimum(
+            starts_d.reshape(LB, 1, 8, 128)
+            + jnp.arange(wwin, dtype=jnp.int32).reshape(1, wwin, 1, 1),
+            words_d.shape[0],
+        )
+        win = jnp.take(words_ext, idx, axis=0)
+        recs, bpos, done = PI.decode_records_blocked(
+            win, pos0_d, meta_d, tab_d, K=K)
+        # step-major [K, nlanes] records for the stitcher
+        recs_t = jnp.transpose(recs, (1, 0, 2, 3)).reshape(K, nlanes)
+        records = PI.recs_to_records(recs_t[:, :L])
+        return records, bpos.reshape(nlanes), done.reshape(nlanes)
+
+    return run
+
+
+def _pallas_lane_decode(data: bytes, lanes, max_steps: int):
+    """Decode every candidate lane with the canonical record kernel.
+
+    One kernel launch decodes every block in its own lane (per-lane runtime
+    trees); the stream words upload ONCE and the per-lane bit windows are
+    gathered on-device.  Returns the same triple as `_xla_lane_decode`
+    (records [K, L], absolute bit positions, EOB flags), or None when the
+    geometry exceeds the kernel's bounds (a block compressed bigger than
+    `_WWIN_CAP` words, or a lane that would need more record slots than
+    the budget allows) — the caller falls back.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_inflate as PI
+
+    L = len(lanes)
+    LB = (L + 1023) // 1024
+    nlanes = LB * 1024
+    # decode_symbols emits up to 8 literals (4 double-literal entries) per
+    # step; the record kernel at most 2 — give it 4x the slots, bounded.
+    K = min(65536, max(16, 4 * max_steps))
+    K += (-K) % 16
+
+    padded = data + bytes((-len(data)) % 4) + bytes(8)
+    words_np = np.frombuffer(padded, "<u4").astype(np.int32)
+    W = len(words_np)
+    wwin = min(W + 8, _WWIN_CAP)
+    wwin += (-wwin) % 8
+
+    start_word = np.zeros(nlanes, np.int32)
+    pos0 = np.zeros((nlanes,), np.int32)
+    metas = np.zeros((nlanes, 64), np.int32)
+    tabs = np.zeros((nlanes, PI._TPAIRS), np.int32)
+    for i, (off, bfinal, sym_start, lengths, hlit) in enumerate(lanes):
+        start_word[i] = sym_start >> 5
+        pos0[i] = sym_start & 31
+        try:
+            metas[i], tabs[i] = PI.foreign_meta(
+                lengths[:hlit], lengths[288:320])
+        except ValueError:
+            return None  # incomplete tree the structural scan let through
+
+    def blocked(a):  # [nlanes, rows] -> [LB, rows, 8, 128]
+        return np.ascontiguousarray(
+            a.reshape(LB, 8, 128, -1).transpose(0, 3, 1, 2))
+
+    records, bpos_rel, done = _jit_pallas_lanes(LB, L, wwin, K)(
+        jnp.asarray(words_np),
+        jnp.asarray(blocked(start_word.reshape(nlanes, 1))[:, 0]),
+        jnp.asarray(blocked(pos0.reshape(nlanes, 1))[:, 0]),
+        jnp.asarray(blocked(metas)),
+        jnp.asarray(blocked(tabs)),
+    )
+    done_np = np.asarray(done)[:L]
+    bpos_np = (np.asarray(bpos_rel)[:L].astype(np.int64)
+               + start_word[:L].astype(np.int64) * 32)
+    return records, bpos_np, done_np == 1
