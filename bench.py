@@ -283,6 +283,62 @@ def run_device_guarded(
     return None, "device benchmark crashed"
 
 
+def _foreign_worker(raw_mb: int, q) -> None:
+    try:
+        import zlib
+
+        from fdeflate_tpu.parallel import discovery as D
+
+        rng = np.random.default_rng(9)
+        wp = [rng.bytes(int(rng.integers(3, 12))) for _ in range(256)]
+        data = b"".join(
+            wp[int(rng.integers(256))] for _ in range((raw_mb << 20) // 7)
+        )[: raw_mb << 20]
+        z = zlib.compress(data, 6)
+
+        t0 = time.perf_counter()
+        ref = zlib.decompress(z)
+        t_z = time.perf_counter() - t0
+
+        r = D.try_foreign(z, engine="pallas")  # compile + first run
+        if r is None or r != ref:
+            q.put(("ok", (0.0, len(data) / t_z / 1e9)))
+            return
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            r = D.try_foreign(z, engine="pallas")
+            ts.append(time.perf_counter() - t0)
+        q.put(("ok", (len(data) / min(ts) / 1e9, len(data) / t_z / 1e9)))
+    except Exception as e:  # pragma: no cover
+        q.put(("err", repr(e)))
+
+
+def run_foreign_guarded(
+    raw_mb: int = int(os.environ.get("FDN_BENCH_FOREIGN_MB", "8")),
+    timeout_s: float = float(os.environ.get("FDN_BENCH_TIMEOUT", "600")),
+):
+    """Foreign (standard zlib-6, un-indexed, multi-block) stream decode via
+    the block-parallel Pallas path, vs host zlib.  Detail metric only."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=_foreign_worker, args=(raw_mb, q))
+    p.start()
+    p.join(timeout_s)
+    if p.is_alive():
+        p.terminate()
+        p.join(10)
+        return None, "foreign benchmark timed out"
+    if not q.empty():
+        kind, payload = q.get()
+        if kind == "ok":
+            return payload, None
+        return None, payload
+    return None, "foreign benchmark crashed"
+
+
 def main():
     batch = int(sys.argv[1]) if len(sys.argv) > 1 else 16
     length = int(sys.argv[2]) if len(sys.argv) > 2 else 1 << 20
@@ -295,6 +351,10 @@ def main():
     d_enc, d_dec, d_enc_zlib = (
         device if device is not None else (0.0, 0.0, 0.0)
     )
+    foreign, foreign_err = (
+        run_foreign_guarded() if device is not None else (None, "skipped")
+    )
+    f_dec, f_zlib = foreign if foreign is not None else (0.0, 0.0)
 
     def combined(e, d):
         return 2.0 / (1.0 / e + 1.0 / d) if e > 0 and d > 0 else 0.0
@@ -317,6 +377,8 @@ def main():
             "device_encode_gbps": round(d_enc, 3),
             "device_decode_gbps": round(d_dec, 3),
             "device_zlib_stream_encode_gbps": round(d_enc_zlib, 3),
+            "foreign_decode_gbps": round(f_dec, 3),
+            "foreign_zlib_host_gbps": round(f_zlib, 3),
             "native_encode_gbps": round(n_enc, 3),
             "native_decode_gbps": round(n_dec, 3),
             "zlib1_encode_gbps": round(z_enc, 3),
@@ -324,6 +386,7 @@ def main():
             "batch": batch,
             "stream_bytes": length,
             **({"device_error": err} if err else {}),
+            **({"foreign_error": str(foreign_err)} if foreign_err else {}),
         },
     }
     print(json.dumps(result))

@@ -163,11 +163,64 @@ def enc_sweep():
               f"  ok={ok}", flush=True)
 
 
+def foreign_sweep():
+    """Foreign (un-indexed) multi-block zlib decode: the Pallas record
+    kernel engine vs the XLA decode_symbols engine vs host zlib."""
+    import time
+    import zlib
+
+    import numpy as np
+
+    from fdeflate_tpu.parallel import discovery as D
+
+    rng = np.random.default_rng(9)
+    wp = [rng.bytes(int(rng.integers(3, 12))) for _ in range(256)]
+    data = b"".join(wp[int(rng.integers(256))] for _ in range(2_400_000))
+    data = data[: 16 << 20]
+    z = zlib.compress(data, 6)
+    offs, _ = D.find_block_boundaries(z)
+    print(f"foreign: {len(data)} raw, {len(z)} compressed, "
+          f"{len(offs)} candidate headers", flush=True)
+
+    t0 = time.perf_counter()
+    ref = zlib.decompress(z)
+    t_z = time.perf_counter() - t0
+    print(f"zlib host: {t_z*1e3:.0f} ms  {len(data)/t_z/1e9:.3f} GB/s",
+          flush=True)
+
+    for engine in ("pallas", "xla"):
+        try:
+            t0 = time.perf_counter()
+            r = D.try_foreign(z, engine=engine)
+            t = time.perf_counter() - t0
+        except Exception as e:  # noqa: BLE001
+            print(f"foreign {engine}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:160]}", flush=True)
+            continue
+        ok = r == ref if r is not None else None
+        print(f"foreign {engine}: {t*1e3:6.0f} ms "
+              f"{len(data)/t/1e9:.3f} GB/s  exact={ok}", flush=True)
+        if r is not None and ok:
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                r = D.try_foreign(z, engine=engine)
+                ts.append(time.perf_counter() - t0)
+            t = min(ts)
+            print(f"foreign {engine} warm: {t*1e3:6.0f} ms "
+                  f"{len(data)/t/1e9:.3f} GB/s", flush=True)
+
+
 def main():
     if not wait_for_tpu():
         print("[hw_session] gave up waiting for TPU", flush=True)
         return
     print("[hw_session] TPU is up", flush=True)
+    try:
+        foreign_sweep()
+    except Exception as e:  # noqa: BLE001
+        print(f"[hw_session] foreign_sweep FAIL {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
     sweep()
     enc_sweep()
     import subprocess

@@ -751,6 +751,143 @@ def _jit_decode(max_steps: int):
     )
 
 
+@functools.lru_cache(maxsize=1)
+def _fixed_foreign_meta():
+    from ..tables import FIXED_CODE_LENGTHS
+    from .pallas_inflate import foreign_meta
+
+    fl = np.asarray(FIXED_CODE_LENGTHS, np.int64)
+    return foreign_meta(fl[:288], np.full(32, 5, np.int64))
+
+
+_SEQ_WWIN_CAP = 6144  # words of compressed block visible per lane per launch
+
+
+@functools.lru_cache(maxsize=8)
+def _jit_seq_pallas(LB: int, B: int, wwin: int, K: int):
+    """Jitted pallas-engine launch for the sequential batch path.
+
+    Window gather + record kernel + unpack + dist validation in ONE program;
+    returns everything the host loop needs as small per-stream vectors.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from . import pallas_inflate as PI
+
+    nlanes = LB * 1024
+
+    @jax.jit
+    def run(words, start_w, pos0_b, meta_b, tab_b, out_pos, active):
+        Wmax = words.shape[1]
+        idxw = jnp.minimum(
+            start_w[:, None] + jnp.arange(wwin, dtype=jnp.int32)[None, :],
+            Wmax - 1,
+        )
+        win_bn = jnp.take_along_axis(
+            words.astype(jnp.int32), idxw, axis=1)
+        win_bn = jnp.pad(win_bn, ((0, nlanes - B), (0, 0)))
+        win = jnp.transpose(win_bn.reshape(LB, 8, 128, wwin), (0, 3, 1, 2))
+        recs, bpos, done = PI.decode_records_blocked(
+            win, pos0_b, meta_b, tab_b, K=K)
+        recs_t = jnp.transpose(recs, (1, 0, 2, 3)).reshape(K, nlanes)[:, :B]
+        rl, rlh, rc, rn, rd = PI.recs_to_records(recs_t)
+        act = active[None, :]
+        rl = jnp.where(act, rl, 0)
+        rc = jnp.where(act, rc, 0)
+        rn = jnp.where(act, rn, 0)
+        rd = jnp.where(act, rd, 0)
+        adv = rc.astype(jnp.int32) + rn
+        posg = out_pos[None, :] + jnp.cumsum(adv, axis=0) - adv
+        bad = jnp.any((rd > 0) & (rd > posg), axis=0)
+        produced = jnp.sum(adv, axis=0)
+        return ((rl, rlh, rc, rn, rd), bpos.reshape(nlanes)[:B],
+                done.reshape(nlanes)[:B], bad, produced)
+
+    return run
+
+
+def _seq_pallas_launch(states, active_np, words, max_steps: int):
+    """One pallas-engine decode launch over the current blocks of all
+    active streams.  Returns (records, bpos, status, produced) in the
+    decode_symbols convention, with status ``-1`` marking streams whose
+    launch hit a kernel anomaly (window overrun, invalid code, bad
+    distance, truncation) and must be re-decoded exactly via the XLA
+    engine.
+    """
+    import jax.numpy as jnp
+
+    from .pallas_inflate import _TPAIRS, foreign_meta
+
+    B = len(states)
+    LB = (B + 1023) // 1024
+    nlanes = LB * 1024
+    K = min(65536, max(16, 4 * max_steps))
+    K += (-K) % 16
+    Wmax = words.shape[1]
+    wwin = min(Wmax, _SEQ_WWIN_CAP)
+    wwin += (-wwin) % 8
+
+    start_w = np.zeros(B, np.int32)
+    pos0 = np.zeros(nlanes, np.int32)
+    metas = np.zeros((nlanes, 64), np.int32)
+    tabs = np.zeros((nlanes, _TPAIRS), np.int32)
+    for i, st in enumerate(states):
+        if not active_np[i]:
+            continue
+        start_w[i] = st.bitpos >> 5
+        pos0[i] = st.bitpos & 31
+        if st.meta_tab is None:
+            if st.lengths == "fixed":
+                st.meta_tab = _fixed_foreign_meta()
+            else:
+                lengths, hlit = st.lengths
+                st.meta_tab = foreign_meta(lengths[:hlit], lengths[288:320])
+        metas[i], tabs[i] = st.meta_tab
+
+    def blocked(a):  # [nlanes, rows] -> [LB, rows, 8, 128]
+        return np.ascontiguousarray(
+            a.reshape(LB, 8, 128, -1).transpose(0, 3, 1, 2))
+
+    records, bpos, done, bad, produced = _jit_seq_pallas(LB, B, wwin, K)(
+        words,
+        jnp.asarray(start_w),
+        jnp.asarray(blocked(pos0.reshape(nlanes, 1))[:, 0]),
+        jnp.asarray(blocked(metas)),
+        jnp.asarray(blocked(tabs)),
+        jnp.asarray(np.array([len(st.out) for st in states], np.int32)),
+        jnp.asarray(active_np),
+    )
+    done_np = np.asarray(done)
+    bad_np = np.asarray(bad)
+    bpos_np = np.asarray(bpos).astype(np.int64) + start_w.astype(np.int64) * 32
+    produced_np = np.asarray(produced)
+
+    status = np.full(B, _EOB, np.int64)
+    for i, st in enumerate(states):
+        if not active_np[i]:
+            continue
+        bit_end = len(st.data) * 8
+        # Lanes stalled at the staged window's edge freeze in-kernel with
+        # their exact position (pallas_inflate stop_bits) and resume next
+        # launch from a re-staged window; the only anomaly left for _OK
+        # lanes is zero progress (safety net against host/kernel drift).
+        anomaly = (
+            bool(bad_np[i])
+            or done_np[i] == 2
+            or bpos_np[i] > bit_end
+            or (done_np[i] == 0 and bpos_np[i] <= st.bitpos
+                and produced_np[i] == 0)
+        )
+        if anomaly:
+            status[i] = -1
+        elif done_np[i] == 1:
+            status[i] = _EOB
+        else:
+            status[i] = _OK
+    return records, bpos_np, status, produced_np
+
+
 @functools.lru_cache(maxsize=32)
 def _jit_materialize(out_capacity: int):
     import jax
@@ -761,7 +898,7 @@ def _jit_materialize(out_capacity: int):
 class _StreamState:
     __slots__ = (
         "data", "bitpos", "out", "window", "done", "error", "last_block",
-        "tables", "in_block",
+        "tables", "in_block", "lengths", "meta_tab", "needs_xla",
     )
 
     def __init__(self, data: bytes):
@@ -774,6 +911,9 @@ class _StreamState:
         self.last_block = False
         self.tables = None
         self.in_block = False
+        self.lengths = None      # ("fixed" | (lengths, hlit)) of current block
+        self.meta_tab = None     # cached foreign_meta of current block
+        self.needs_xla = False   # pallas engine hit an anomaly; redo exactly
 
 
 def _advance_headers(st: _StreamState) -> None:
@@ -825,9 +965,14 @@ def _advance_headers(st: _StreamState) -> None:
                 r.pos += length * 8
             elif btype == 0b01:
                 st.tables = _fixed_tables()
+                st.lengths = "fixed"
+                st.meta_tab = None
                 st.in_block = True
             elif btype == 0b10:
-                st.tables = _parse_dynamic_header(r)
+                lengths, hlit = _parse_dynamic_lengths(r)
+                st.tables = _tables_from_lengths(lengths, hlit)
+                st.lengths = (lengths, hlit)
+                st.meta_tab = None
                 st.in_block = True
             else:
                 raise E.InvalidBlockType()
@@ -850,6 +995,7 @@ def decompress_batch(
     max_steps: int = 8192,
     out_capacity: int | None = None,
     try_parallel: bool = True,
+    engine: str = "auto",
 ) -> list[bytes | E.DecompressionError]:
     """Decode many zlib streams with one device lane per stream.
 
@@ -886,7 +1032,8 @@ def decompress_batch(
     else:
         streams_seq = streams
     seq_out = _decompress_batch_sequential(
-        streams_seq, max_steps=max_steps, out_capacity=out_capacity
+        streams_seq, max_steps=max_steps, out_capacity=out_capacity,
+        engine=engine,
     )
     results: list[bytes | E.DecompressionError] = []
     it = iter(seq_out)
@@ -899,9 +1046,23 @@ def _decompress_batch_sequential(
     streams: list[bytes],
     max_steps: int = 8192,
     out_capacity: int | None = None,
+    engine: str = "auto",
 ) -> list[bytes | E.DecompressionError]:
-    """Per-block host-orchestrated decode (the universal path)."""
+    """Per-block host-orchestrated decode (the universal path).
+
+    ``engine`` picks the symbol phase: "pallas" decodes every stream's
+    current block in the canonical record kernel (one lane per stream —
+    dynamic AND fixed blocks, any trees); "xla" uses the table-gather
+    ``decode_symbols`` loop.  "auto" = pallas on TPU backends.  The pallas
+    engine falls back PER STREAM to the XLA engine on any kernel anomaly
+    (invalid code, bad distance, window overrun, truncation) so the error
+    taxonomy and committed output stay bit-identical to the tested path.
+    """
+    import jax
     import jax.numpy as jnp
+
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
     states = [_StreamState(s) for s in streams]
     for st in states:
@@ -928,6 +1089,34 @@ def _decompress_batch_sequential(
         active_np = np.array(
             [not st.done and st.in_block for st in states], bool
         )
+        if engine == "pallas":
+            records, bpos_np, status_np, produced_np = _seq_pallas_launch(
+                states, active_np, words, max_steps
+            )
+            anomalous = status_np == -1
+            produced_np = np.where(anomalous, 0, produced_np)
+            cap = int(produced_np.max(initial=0))
+            cap = max(256, 1 << int(np.ceil(np.log2(max(cap, 1)))))
+            window = jnp.asarray(np.stack([st.window for st in states]))
+            out, new_window = _jit_materialize(cap)(
+                records, window, jnp.asarray(produced_np.astype(np.int32))
+            )
+            out_np = np.asarray(out)
+            new_window_np = np.asarray(new_window)
+            for i, st in enumerate(states):
+                if not active_np[i]:
+                    continue
+                if anomalous[i]:
+                    st.needs_xla = True
+                    st.done = True
+                    continue
+                st.out += out_np[i, : produced_np[i]].tobytes()
+                st.window = new_window_np[i]
+                st.bitpos = int(bpos_np[i])
+                if status_np[i] == _EOB:
+                    st.in_block = False
+                    _advance_headers(st)
+            continue
         # Stack tables, deduplicating identical ones.
         table_rows = {}
         table_id = np.zeros(B, np.int32)
@@ -1002,9 +1191,23 @@ def _decompress_batch_sequential(
                 st.error = E.error_for_status(s)
                 st.done = True
 
+    # Streams the pallas engine could not finish cleanly re-decode from
+    # scratch on the exact XLA path (committed output + error taxonomy
+    # bit-identical to the tested engine; anomalies are rare).
+    redo = [i for i, st in enumerate(states) if st.needs_xla]
+    redo_results: dict[int, bytes | E.DecompressionError] = {}
+    if redo:
+        rr = _decompress_batch_sequential(
+            [streams[i] for i in redo], max_steps=max_steps,
+            out_capacity=out_capacity, engine="xla",
+        )
+        redo_results = dict(zip(redo, rr))
+
     results: list[bytes | E.DecompressionError] = []
-    for st in states:
-        if st.error is not None:
+    for i, st in enumerate(states):
+        if i in redo_results:
+            results.append(redo_results[i])
+        elif st.error is not None:
             results.append(st.error)
         elif not st.done:
             results.append(E.InsufficientInput())

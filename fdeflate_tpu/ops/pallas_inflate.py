@@ -396,7 +396,18 @@ def _kernel(win_ref, tab_ref, meta_ref, init_ref, recs_ref, bpos_ref, state,
             Kv = jnp.where(L == l, kval(l), Kv)
         return L, Kv + (r15 >> (MAXL - L))
 
+    # Freeze lanes approaching the staged window's end BEFORE they read
+    # garbage: a frozen lane (done == 3) keeps its exact bit position, so
+    # the host can re-stage a window at that position and resume — blocks
+    # larger than one staged window decode across launches.  One step
+    # consumes <= 48 bits and peeks <= 79+31 bits past pos, so stopping at
+    # wwin*32 - 128 keeps every read in bounds.
+    stop_bits = wwin * 32 - 128
+
     for u in range(U):
+        for r in RR:
+            done[r] = jnp.where(
+                (done[r] == 0) & (pos[r] > stop_bits), 3, done[r])
         pos_off = [pos[r] - (base[r] << 5) for r in RR]
         act = [done[r] == 0 for r in RR]
 

@@ -179,6 +179,67 @@ class TestKernelVsOracle:
         assert done[0, 0, 10] != 1
 
 
+class TestSequentialPallasEngine:
+    """decompress_batch's per-block loop through the record kernel: one
+    lane per stream, dynamic AND fixed blocks, exact per-stream XLA redo
+    on kernel anomalies."""
+
+    def test_mixed_batch_exact_and_engines_agree(self):
+        from fdeflate_tpu import errors as E
+
+        rng = np.random.default_rng(31)
+        d1 = (rng.integers(0, 16, 3000).astype(np.uint8) * 3).tobytes()
+        co = zlib.compressobj(6, zlib.DEFLATED, 15, 9, zlib.Z_FIXED)
+        d2 = b"fixed block data " * 30
+        d3 = rng.bytes(400)
+        d4 = bytes(8000)
+        z5 = zlib.compress(d1, 6)
+        z6 = bytearray(zlib.compress(d2, 6))
+        z6[len(z6) // 2] ^= 0xFF
+        streams = [
+            zlib.compress(d1, 6),                # dynamic
+            co.compress(d2) + co.flush(),        # fixed
+            zlib.compress(d3, 0),                # stored
+            zlib.compress(d4, 9),                # degenerate dist tree
+            z5[: len(z5) // 2],                  # truncated -> anomaly redo
+            bytes(z6),                           # corrupted
+        ]
+        rp = I._decompress_batch_sequential(
+            streams, max_steps=512, engine="pallas")
+        rx = I._decompress_batch_sequential(
+            streams, max_steps=512, engine="xla")
+        assert rp[0] == d1 and rp[1] == d2 and rp[2] == d3 and rp[3] == d4
+        assert isinstance(rp[4], E.DecompressionError)
+        assert isinstance(rp[5], E.DecompressionError)
+        for a, b in zip(rp, rx):
+            assert type(a) is type(b)
+            if isinstance(a, bytes):
+                assert a == b
+
+    def test_window_stall_resume(self, monkeypatch):
+        """A block bigger than the staged bit window freezes in-kernel at
+        the window edge (done=3) and resumes from a re-staged window next
+        launch — no fallback, exact output."""
+        rng = np.random.default_rng(37)
+        data = (rng.integers(0, 16, 6000).astype(np.uint8) * 9).tobytes()
+        z = zlib.compress(data, 6)
+        assert len(z) > 64 * 4 * 3  # needs several 64-word windows
+        monkeypatch.setattr(I, "_SEQ_WWIN_CAP", 64)
+        r = I._decompress_batch_sequential([z], max_steps=512,
+                                           engine="pallas")
+        assert r[0] == data
+
+    def test_multi_launch_resume(self):
+        """A block bigger than one launch's record budget resumes mid-block
+        (K slots exhausted -> _OK -> next launch continues)."""
+        rng = np.random.default_rng(33)
+        data = (rng.integers(0, 16, 4000).astype(np.uint8) * 7).tobytes()
+        z = zlib.compress(data, 6)
+        # max_steps=64 -> K=256 record slots, far fewer than the block needs
+        r = I._decompress_batch_sequential([z], max_steps=64, engine="pallas")
+        assert r[0] == data
+
+
 class TestForeignPallasEngine:
     def test_try_foreign_pallas_single_block(self):
         from fdeflate_tpu.parallel import discovery as D
