@@ -209,6 +209,19 @@ def foreign_sweep():
             t = min(ts)
             print(f"foreign {engine} warm: {t*1e3:6.0f} ms "
                   f"{len(data)/t/1e9:.3f} GB/s", flush=True)
+            if engine == "pallas":
+                words_dev = D.stage_words(z)
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    rd = D.try_foreign(z, engine=engine,
+                                       words_dev=words_dev,
+                                       return_device=True)
+                    assert rd is not None
+                    ts.append(time.perf_counter() - t0)
+                t = min(ts)
+                print(f"foreign {engine} device-resident: {t*1e3:6.0f} ms "
+                      f"{len(data)/t/1e9:.3f} GB/s", flush=True)
 
 
 def main():

@@ -248,7 +248,8 @@ def decompress_foreign(data: bytes, max_steps: int = 6144) -> bytes:
 
 
 def try_foreign(data: bytes, max_steps: int = 6144,
-                engine: str = "auto") -> bytes | None:
+                engine: str = "auto", words_dev=None,
+                return_device: bool = False):
     """`decompress_foreign` without the fallback: bytes on a confirmed,
     checksum-verified chain decode; None when the stream needs the
     sequential path.  One decode launch + one materialize launch total.
@@ -258,6 +259,13 @@ def try_foreign(data: bytes, max_steps: int = 6144,
     ~13 ns/lane-step), "xla" the table-gather ``decode_symbols`` loop,
     "auto" picks pallas on TPU backends and xla elsewhere (the kernel's
     interpret mode is far too slow for production CPU decode).
+
+    ``words_dev`` (pallas engine): pre-uploaded little-endian i32 stream
+    words (`stage_words`), so repeat decodes of one stream skip the
+    host->device payload transfer.  ``return_device=True`` keeps the
+    result on device — returns (out u8[1, cap], produced int) with the
+    Adler-32 verified ON DEVICE (only the checksum scalar reads back)
+    instead of downloading the output bytes.
     """
     import zlib
 
@@ -296,7 +304,8 @@ def try_foreign(data: bytes, max_steps: int = 6144,
 
     L = len(lanes)
     if engine == "pallas":
-        decoded = _pallas_lane_decode(data, lanes, max_steps)
+        decoded = _pallas_lane_decode(data, lanes, max_steps,
+                                      words_dev=words_dev)
         if decoded is None:
             return None
         records, bpos_np, eob_np = decoded
@@ -350,11 +359,21 @@ def try_foreign(data: bytes, max_steps: int = 6144,
         jnp.asarray([produced], jnp.int32),
         out_capacity=cap,
     )
-    result = np.asarray(out)[0, :produced].tobytes()
 
     # Trailer: byte-align after the final block, 4 bytes big-endian.
     tb = (final_exit + 7) & ~7
     stored = int.from_bytes(data[tb // 8 : tb // 8 + 4], "big")
+    if return_device:
+        # Device-resident contract: verify the checksum ON DEVICE; only the
+        # 32-bit scalar reads back over the (slow) host link.
+        from ..ops.adler32 import adler32_jax
+
+        a = int(np.asarray(
+            adler32_jax(out[0], length=jnp.int32(produced))))
+        if stored != a:
+            return None
+        return out, produced
+    result = np.asarray(out)[0, :produced].tobytes()
     if stored != zlib.adler32(result):
         return None  # chain was structurally plausible but wrong
     return result
@@ -447,7 +466,16 @@ def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
     return run
 
 
-def _pallas_lane_decode(data: bytes, lanes, max_steps: int):
+def stage_words(data: bytes):
+    """Upload a stream's little-endian i32 words once for repeated
+    `try_foreign(..., words_dev=...)` calls."""
+    import jax.numpy as jnp
+
+    padded = data + bytes((-len(data)) % 4) + bytes(8)
+    return jnp.asarray(np.frombuffer(padded, "<u4").astype(np.int32))
+
+
+def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
     """Decode every candidate lane with the canonical record kernel.
 
     One kernel launch decodes every block in its own lane (per-lane runtime
@@ -471,9 +499,9 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int):
     K = min(65536, max(16, 4 * max_steps))
     K += (-K) % 16
 
-    padded = data + bytes((-len(data)) % 4) + bytes(8)
-    words_np = np.frombuffer(padded, "<u4").astype(np.int32)
-    W = len(words_np)
+    if words_dev is None:
+        words_dev = stage_words(data)
+    W = words_dev.shape[0]
     wwin = min(W + 8, _WWIN_CAP)
     wwin += (-wwin) % 8
 
@@ -495,7 +523,7 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int):
             a.reshape(LB, 8, 128, -1).transpose(0, 3, 1, 2))
 
     records, bpos_rel, done = _jit_pallas_lanes(LB, L, wwin, K)(
-        jnp.asarray(words_np),
+        words_dev,
         jnp.asarray(blocked(start_word.reshape(nlanes, 1))[:, 0]),
         jnp.asarray(blocked(pos0.reshape(nlanes, 1))[:, 0]),
         jnp.asarray(blocked(metas)),
