@@ -240,6 +240,8 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(here)
     for desc, args, tmo in (
+        ("probe_foreign", [sys.executable,
+                           os.path.join(here, "probe_foreign.py")], 1800),
         ("probe_ablate", [sys.executable, os.path.join(here, "probe_ablate.py"),
                           "full", "static", "fixedbounds", "noscan", "twosub"], 1800),
         ("probe_vpu bcast", [sys.executable, os.path.join(here, "probe_vpu.py"),

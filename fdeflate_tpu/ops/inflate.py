@@ -522,9 +522,7 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
         .add(1, mode="drop")
         .reshape(B, ext)
     )
-    # Scatter per-record dist (0 for literal records) at starts, then
-    # propagate to the whole record span via a segmented max (records are
-    # contiguous, so a cummax keyed by record id works).
+    # Scatter per-record dist (0 for literal records) at starts.
     dist_at_start = jnp.zeros((B, ext), jnp.int32)
     tgt_ref = jnp.where(is_ref, row * ext + WINDOW + start, drop)
     dist_at_start = (
@@ -533,17 +531,19 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
         .add(jnp.where(is_ref, dstT, 0).reshape(-1), mode="drop")
         .reshape(B, ext)
     )
-    rec_id = jnp.cumsum(marks, axis=1)  # 0 in window, >=1 in records
-    # Distance for position i = the distance scattered at the start of its
-    # record, recovered with a cummax over (rec_id, dist) pairs packed as
-    # rec_id * 2^16 + dist (dist <= 32768 fits 16 bits; rec_id < 2^14 keeps
-    # the key in int32).  A literal record's start contributes dist 0, and
-    # rec_id strictly increases, so positions in literal records always see
-    # dist 0.
-    keyed = jax.lax.cummax(rec_id * 65536 + dist_at_start, axis=1)
-    pos_dist = keyed & 0xFFFF
 
     posi = jax.lax.broadcasted_iota(i32, (B, ext), 1)
+    # Start position of the record containing each output position.  (An
+    # earlier design recovered per-position dist with a cummax over
+    # rec_id * 2^16 + dist keys, which silently overflows int32 past 32767
+    # records per stream — the block-parallel foreign path concatenates
+    # every block's records into ONE stream, far beyond that.)
+    rec_start = jax.lax.cummax(jnp.where(marks > 0, posi, -1), axis=1)
+    # Distance for position i = the distance scattered at its record start;
+    # literal records scattered 0 there.
+    pos_dist = jnp.take_along_axis(
+        dist_at_start, jnp.maximum(rec_start, 0), axis=1)
+
     produced_col = WINDOW + produced[:, None]
     in_new = (posi >= WINDOW) & (posi < produced_col)
     is_copy = in_new & (pos_dist > 0)
@@ -553,7 +553,6 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
     # before the record: start - d + ((i - start) mod d).  This collapses
     # within-record chains (a 258-byte dist-1 run resolves in one hop
     # instead of 258), leaving only cross-record chains for the doubling.
-    rec_start = jax.lax.cummax(jnp.where(marks > 0, posi, -1), axis=1)
     d_safe = jnp.maximum(pos_dist, 1)
     hop = rec_start - d_safe + (posi - rec_start) % d_safe
     ptr = jnp.where(is_copy, hop, posi)

@@ -583,10 +583,8 @@ def decode_records_blocked(win, pos0, meta, tab, K: int, U: int = 16,
         interpret=interpret,
     )
     recs, bpos = f(win, tab, meta, pos0.reshape(LB, 1, 8, LANE))
-    kind_last = None  # done derived from records below
     kind = (recs >> 28) & 0xF
     has_eob = jnp.any(kind == REC_EOB, axis=1)
     has_err = jnp.any(kind == REC_ERR, axis=1)
     done = jnp.where(has_err, 2, jnp.where(has_eob, 1, 0)).astype(jnp.int32)
-    del kind_last
     return recs, bpos, done

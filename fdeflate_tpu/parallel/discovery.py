@@ -434,12 +434,16 @@ def _xla_lane_decode(data: bytes, lanes, max_steps: int):
             np.asarray(status) == I._EOB)
 
 
-_WWIN_CAP = 6144  # words: 24 KiB of compressed block per lane (VMEM bound)
+# Words of compressed block staged per lane per launch.  Bounds the kernel's
+# VMEM working set (wwin * 4 KiB per lane-block); blocks bigger than one
+# window freeze at the edge and resume from a re-staged window.  Tunable for
+# hardware sweeps (smaller windows allow R-way lane-block interleaving).
+_WWIN_CAP = int(__import__("os").environ.get("FDN_FOREIGN_WWIN", "6144"))
 
 
 @functools.lru_cache(maxsize=16)
 def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
-    """Jitted (stream upload -> window gather -> record kernel -> unpack)."""
+    """Jitted (window gather -> record kernel -> unpack -> mask)."""
     import jax
     import jax.numpy as jnp
 
@@ -448,7 +452,7 @@ def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
     nlanes = LB * 1024
 
     @jax.jit
-    def run(words_d, starts_d, pos0_d, meta_d, tab_d):
+    def run(words_d, starts_d, pos0_d, meta_d, tab_d, active_d):
         words_ext = jnp.concatenate([words_d, jnp.zeros((1,), jnp.int32)])
         idx = jnp.minimum(
             starts_d.reshape(LB, 1, 8, 128)
@@ -458,9 +462,11 @@ def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
         win = jnp.take(words_ext, idx, axis=0)
         recs, bpos, done = PI.decode_records_blocked(
             win, pos0_d, meta_d, tab_d, K=K)
-        # step-major [K, nlanes] records for the stitcher
+        # step-major [K, nlanes] records for the stitcher; lanes already
+        # finished in an earlier launch decode garbage -> mask them inert
         recs_t = jnp.transpose(recs, (1, 0, 2, 3)).reshape(K, nlanes)
-        records = PI.recs_to_records(recs_t[:, :L])
+        recs_t = jnp.where(active_d[None, :], recs_t[:, :L], 0)
+        records = PI.recs_to_records(recs_t)
         return records, bpos.reshape(nlanes), done.reshape(nlanes)
 
     return run
@@ -522,14 +528,50 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
         return np.ascontiguousarray(
             a.reshape(LB, 8, 128, -1).transpose(0, 3, 1, 2))
 
-    records, bpos_rel, done = _jit_pallas_lanes(LB, L, wwin, K)(
-        words_dev,
-        jnp.asarray(blocked(start_word.reshape(nlanes, 1))[:, 0]),
-        jnp.asarray(blocked(pos0.reshape(nlanes, 1))[:, 0]),
-        jnp.asarray(blocked(metas)),
-        jnp.asarray(blocked(tabs)),
-    )
-    done_np = np.asarray(done)[:L]
-    bpos_np = (np.asarray(bpos_rel)[:L].astype(np.int64)
-               + start_word[:L].astype(np.int64) * 32)
-    return records, bpos_np, done_np == 1
+    meta_d = jnp.asarray(blocked(metas))
+    tab_d = jnp.asarray(blocked(tabs))
+
+    # Multi-launch resume: blocks compressed bigger than one staged window
+    # freeze in-kernel at the window edge keeping their exact bit position
+    # (pallas_inflate stop_bits); each round re-stages windows at the
+    # current positions and the per-launch record planes concatenate.
+    K_launch = min(K, 8192)
+    pos_cur = np.array([sym for (_o, _b, sym, _le, _hl) in lanes], np.int64)
+    state = np.zeros(L, np.int8)  # 0 running, 1 eob, 2 error
+    parts: list[tuple] = []
+    slots_used = 0
+    while slots_used < K and (state == 0).any():
+        active = state == 0
+        start_word = np.zeros(nlanes, np.int32)
+        pos0 = np.zeros(nlanes, np.int32)
+        start_word[:L] = np.where(active, pos_cur >> 5, 0)
+        pos0[:L] = np.where(active, pos_cur & 31, 0)
+        records, bpos_rel, done = _jit_pallas_lanes(LB, L, wwin, K_launch)(
+            words_dev,
+            jnp.asarray(blocked(start_word.reshape(nlanes, 1))[:, 0]),
+            jnp.asarray(blocked(pos0.reshape(nlanes, 1))[:, 0]),
+            meta_d,
+            tab_d,
+            jnp.asarray(active),
+        )
+        parts.append(records)
+        done_np = np.asarray(done)[:L]
+        new_pos = (np.asarray(bpos_rel)[:L].astype(np.int64)
+                   + (pos_cur >> 5) * 32)
+        progressed = new_pos > pos_cur
+        pos_cur = np.where(active, new_pos, pos_cur)
+        state = np.where(active & (done_np > 0), done_np, state).astype(np.int8)
+        slots_used += K_launch
+        # safety net: a running lane that made no progress can never
+        # finish (degenerate window); stop iterating for it
+        stuck = active & (done_np == 0) & ~progressed
+        if stuck.any():
+            state = np.where(stuck, 2, state).astype(np.int8)
+
+    if len(parts) == 1:
+        records = parts[0]
+    else:
+        records = tuple(
+            jnp.concatenate([p[j] for p in parts], axis=0) for j in range(5)
+        )
+    return records, pos_cur, state == 1
