@@ -588,3 +588,331 @@ def decode_records_blocked(win, pos0, meta, tab, K: int, U: int = 16,
     has_err = jnp.any(kind == REC_ERR, axis=1)
     done = jnp.where(has_err, 2, jnp.where(has_eob, 1, 0)).astype(jnp.int32)
     return recs, bpos, done
+
+
+# ---------------------------------------------------------------------------
+# Header-validation kernel (discovery stage 2 on device)
+# ---------------------------------------------------------------------------
+
+_MAXCL = 7           # code-length codes are at most 7 bits
+_VAL_STEPS = 320     # max CL sections per header (>= 316 lengths + slack)
+_VAL_WWIN = 160      # words per lane window (header <= 4498 bits < 160*32)
+# Position of symbol s in the header's 3-bit field list (RFC 1951 3.2.7).
+_CLCL_INV = (3, 17, 15, 13, 11, 9, 7, 5, 4, 6, 8, 10, 12, 14, 16, 18, 0, 1, 2)
+
+
+def _validate_kernel(win_ref, pos0_ref, relend_ref, act_ref,
+                     good_ref, end_ref, state, meta, *,
+                     wwin: int, U: int, R: int):
+    """Decode each lane's CL-coded lengths section; exact semantics of
+    parallel.discovery.validate_stage2 (the numpy oracle).
+
+    Lane = one stage-1 candidate bit offset.  The first grid step parses
+    HLIT/HDIST/HCLEN + the 19 CL code lengths from the lane's window,
+    builds the 7-bit canonical decode parameters and each symbol's sorted
+    position in (length, symbol) order (unused symbols follow in symbol
+    order, mirroring the oracle's argsort key), and stores them as VMEM
+    meta rows; each step then decodes one section (a plain length or a
+    16/17/18 repeat), tracking litlen/dist Kraft sums, the EOB slot's
+    length, and structural errors.
+
+    meta rows per block r: 0..18 sym s -> sorted_pos | cl<<8;
+    19..25 bound[1..7]; 26..32 kval[1..7]; 33 hlit; 34 total.
+    state rows: 0 pos, 1 bad, 2 base, 3..7 w0..w4, 8 written, 9 prev,
+    10 kraft_l, 11 kraft_d, 12 nz_d, 13 len256.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    sb = pl.program_id(1)
+    num_sb = pl.num_programs(1)
+    RR = range(R)
+
+    def zeros():
+        return jnp.zeros((8, LANE), i32)
+
+    def word_at(widx):
+        glo_s, ghi_s = jnp.min(widx[0]), jnp.max(widx[0])
+        for r in range(1, R):
+            glo_s = jnp.minimum(glo_s, jnp.min(widx[r]))
+            ghi_s = jnp.maximum(ghi_s, jnp.max(widx[r]))
+        glo = jnp.minimum(glo_s >> 3, wwin // 8)
+        ghi = jnp.minimum((ghi_s >> 3) + 1, wwin // 8)
+
+        def body(g, accs):
+            accs = list(accs)
+            w0 = g * 8
+            rel = [widx[r] - (zeros() + w0) for r in RR]
+            for j in range(8):
+                for r in RR:
+                    accs[r] = jnp.where(
+                        rel[r] == j, win_ref[r, w0 + j], accs[r])
+            return tuple(accs)
+
+        return list(jax.lax.fori_loop(
+            glo, ghi, body, tuple(zeros() for _ in RR)
+        ))
+
+    def peek32(w, pos_off_r, o):
+        oo = pos_off_r + o
+        wsel = oo >> 5
+        a = w[3]
+        b = w[4]
+        for j in (2, 1, 0):
+            a = jnp.where(wsel == j, w[j], a)
+            b = jnp.where(wsel == j, w[j + 1], b)
+        a = a.astype(u32)
+        b = b.astype(u32)
+        sh = (oo & 31).astype(u32)
+        return (a >> sh) | jnp.where(
+            sh == 0, u32(0), b << ((32 - (oo & 31)).astype(u32) & 31)
+        )
+
+    def bitrev7(x):
+        x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+        x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+        x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+        x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+        return x >> 9
+
+    @pl.when(sb == 0)
+    def _init():
+        for r in RR:
+            w = [win_ref[r, j] for j in range(5)]
+            p0 = pos0_ref[r, 0]
+            hlit = (peek32(w, p0, 3) & 31).astype(i32) + 257
+            hdist = (peek32(w, p0, 8) & 31).astype(i32) + 1
+            ncl = (peek32(w, p0, 13) & 15).astype(i32) + 4
+            # 19 CL code lengths (indexed by SYMBOL) + length histogram
+            cnt = [zeros() for _ in range(_MAXCL + 1)]
+            cls = []
+            for sym in range(19):
+                j = _CLCL_INV[sym]
+                cl = (peek32(w, p0, 17 + 3 * j) & 7).astype(i32)
+                cl = jnp.where(j < ncl, cl, 0)
+                cls.append(cl)
+                for L in range(1, _MAXCL + 1):
+                    cnt[L] = cnt[L] + (cl == L).astype(i32)
+            # canonical params; keep off[L] (= #used symbols shorter than L)
+            code = zeros()
+            acc = zeros()
+            offs = [None] * (_MAXCL + 1)
+            for L in range(1, _MAXCL + 1):
+                first = code
+                meta[r, 19 + L - 1] = (first + cnt[L]) << (_MAXCL - L)
+                meta[r, 26 + L - 1] = acc - first
+                offs[L] = acc
+                acc = acc + cnt[L]
+                code = (code + cnt[L]) << 1
+            # sorted position of every symbol: used symbols at
+            # off[len] + within-length rank; unused follow in symbol order
+            offr = list(offs)
+            unused = acc
+            for sym in range(19):
+                cl = cls[sym]
+                p = unused
+                for L in range(1, _MAXCL + 1):
+                    p = jnp.where(cl == L, offr[L], p)
+                meta[r, sym] = p | (cl << 8)
+                for L in range(1, _MAXCL + 1):
+                    offr[L] = offr[L] + (cl == L).astype(i32)
+                unused = unused + (cl == 0).astype(i32)
+            meta[r, 33] = hlit
+            meta[r, 34] = hlit + hdist
+
+            state[r, 0] = p0 + 17 + 3 * ncl
+            state[r, 1] = (act_ref[r, 0] == 0).astype(i32)
+            state[r, 2] = zeros()
+            for j in range(5):
+                state[r, 3 + j] = w[j]
+            for j in (8, 9, 10, 11, 12, 13):
+                state[r, j] = zeros()
+
+    pos = [state[r, 0] for r in RR]
+    bad = [state[r, 1] for r in RR]
+    base = [state[r, 2] for r in RR]
+    w = [[state[r, 3 + j] for j in range(5)] for r in RR]
+    written = [state[r, 8] for r in RR]
+    prev = [state[r, 9] for r in RR]
+    kraft_l = [state[r, 10] for r in RR]
+    kraft_d = [state[r, 11] for r in RR]
+    nz_d = [state[r, 12] for r in RR]
+    len256 = [state[r, 13] for r in RR]
+
+    for _u in range(U):
+        for r in RR:
+            hlit = meta[r, 33]
+            total = meta[r, 34]
+            live = (bad[r] == 0) & (written[r] < total)
+            pos_off = pos[r] - (base[r] << 5)
+            bits = peek32(w[r], pos_off, 0)
+            r7 = bitrev7((bits & 0x7F).astype(i32))
+            L = jnp.ones((8, LANE), i32)
+            for l in range(1, _MAXCL):
+                b_l = meta[r, 19 + l - 1]
+                L = L + ((r7 >= b_l) & (b_l < (1 << _MAXCL))).astype(i32)
+            kv = zeros()
+            for l in range(1, _MAXCL + 1):
+                kv = jnp.where(L == l, meta[r, 26 + l - 1], kv)
+            idx = kv + (r7 >> (_MAXCL - L))
+            idx_ok = (idx >= 0) & (idx < 19)
+            idx_c = jnp.clip(idx, 0, 18)
+            sym = zeros() + 19
+            slen = zeros()
+            for s in range(19):
+                m = (meta[r, s] & 0xFF) == idx_c
+                sym = jnp.where(m, s, sym)
+                slen = jnp.where(m, (meta[r, s] >> 8) & 0xFF, slen)
+            valid = idx_ok & (slen == L) & (sym < 19)
+            bad[r] = bad[r] | (live & ~valid).astype(i32)
+
+            is_plain = sym <= 15
+            ebase = jnp.where(sym == 16, 3, jnp.where(sym == 17, 3, 11))
+            ebits = jnp.where(sym == 16, 2, jnp.where(sym == 17, 3, 7))
+            ev = (peek32(w[r], pos_off, L).astype(i32)
+                  & ((1 << ebits) - 1))
+            rep = jnp.where(is_plain, 1, ebase + ev)
+            value = jnp.where(is_plain, sym,
+                              jnp.where(sym == 16, prev[r], 0))
+            bad[r] = bad[r] | (live & (sym == 16)
+                               & (written[r] == 0)).astype(i32)
+            bad[r] = bad[r] | (live
+                               & (written[r] + rep > total)).astype(i32)
+            act = live & (bad[r] == 0)
+
+            repa = jnp.where(act, rep, 0)
+            vala = jnp.where(act, value, 0)
+            l_cnt = jnp.clip(
+                jnp.minimum(written[r] + repa, hlit) - written[r], 0, None)
+            l_cnt = jnp.where(act, l_cnt, 0)
+            d_cnt = repa - l_cnt
+            nzv = vala > 0
+            kshift = jnp.where(nzv, 1 << (15 - jnp.clip(vala, 0, 15)), 0)
+            kraft_l[r] = kraft_l[r] + kshift * l_cnt
+            kraft_d[r] = kraft_d[r] + kshift * d_cnt
+            nz_d[r] = nz_d[r] + jnp.where(nzv, d_cnt, 0)
+            hit256 = act & (written[r] <= 256) \
+                & (256 < written[r] + repa) & (hlit > 256)
+            len256[r] = jnp.where(hit256, vala, len256[r])
+            prev[r] = jnp.where(act & is_plain, sym, prev[r])
+            written[r] = written[r] + repa
+            pos[r] = pos[r] + jnp.where(
+                act, L + jnp.where(is_plain, 0, ebits), 0)
+            bad[r] = bad[r] | (live & (pos[r] + 7
+                               >= relend_ref[r, 0])).astype(i32)
+
+        # refill: a section consumes <= 14 bits -> at most one new word
+        need_f = [(pos[r] >> 5) > base[r] for r in RR]
+        for r in RR:
+            for j in range(4):
+                w[r][j] = jnp.where(need_f[r], w[r][j + 1], w[r][j])
+            base[r] = jnp.where(need_f[r], base[r] + 1, base[r])
+        neww = word_at([base[r] + 4 for r in RR])
+        for r in RR:
+            w[r][4] = jnp.where(need_f[r], neww[r], w[r][4])
+
+    for r in RR:
+        state[r, 0] = pos[r]
+        state[r, 1] = bad[r]
+        state[r, 2] = base[r]
+        for j in range(5):
+            state[r, 3 + j] = w[r][j]
+        state[r, 8] = written[r]
+        state[r, 9] = prev[r]
+        state[r, 10] = kraft_l[r]
+        state[r, 11] = kraft_d[r]
+        state[r, 12] = nz_d[r]
+        state[r, 13] = len256[r]
+
+    @pl.when(sb == num_sb - 1)
+    def _finish():
+        for r in RR:
+            total = meta[r, 34]
+            ok = ((state[r, 1] == 0) & (state[r, 8] == total)
+                  & (state[r, 10] == (1 << 15)) & (state[r, 13] > 0)
+                  & ((state[r, 11] == (1 << 15)) | (state[r, 12] <= 1)))
+            good_ref[r] = (ok & (act_ref[r, 0] != 0)).astype(i32)
+            end_ref[r] = state[r, 0]
+
+
+def validate_headers_blocked(win, pos0, relend, active, U: int = 32,
+                             interpret: bool | None = None,
+                             R: int | None = None):
+    """Validate candidate dynamic-block headers, one lane per candidate.
+
+    Args:
+      win: i32[LB, wwin, 8, 128] per-candidate windows (the candidate's
+        header starts ``pos0`` bits into word 0; wwin >= _VAL_WWIN).
+      pos0: i32[LB, 8, 128] initial bit offsets (0..31).
+      relend: i32[LB, 8, 128] stream end in window-relative bits.
+      active: i32[LB, 8, 128] 1 for real candidate lanes.
+
+    Returns (good i32[LB, 8, 128], end i32[LB, 8, 128]): good == 1 for
+    structurally valid headers, end = window-relative bit position just
+    past the header (symbol start).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    LB, wwin, _, _ = win.shape
+    assert wwin % 8 == 0
+    SB = _VAL_STEPS // U
+    assert SB * U == _VAL_STEPS
+
+    if R is None:
+        blk_bytes = (wwin + 16 + 35) * 8 * LANE * 4
+        R = 1
+        for cand in (2, 4, 8):
+            if LB % cand == 0 and cand * blk_bytes <= 30 << 20:
+                R = cand
+    if R > 1 and LB % R != 0:
+        pad_lb = (-LB) % R
+        win = jnp.pad(win, ((0, pad_lb), (0, 0), (0, 0), (0, 0)))
+        pos0 = jnp.pad(pos0, ((0, pad_lb), (0, 0), (0, 0)))
+        relend = jnp.pad(relend, ((0, pad_lb), (0, 0), (0, 0)))
+        active = jnp.pad(active, ((0, pad_lb), (0, 0), (0, 0)))
+        good, end = validate_headers_blocked(
+            win, pos0, relend, active, U=U, interpret=interpret, R=R)
+        return good[:LB], end[:LB]
+
+    kern = functools.partial(_validate_kernel, wwin=wwin, U=U, R=R)
+    f = pl.pallas_call(
+        kern,
+        grid=(LB // R, SB),
+        in_specs=[
+            pl.BlockSpec((R, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, 8, LANE), lambda lb, sb: (lb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 8, LANE), lambda lb, sb: (lb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((LB, 8, LANE), jnp.int32),
+            jax.ShapeDtypeStruct((LB, 8, LANE), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, 16, 8, LANE), jnp.int32),
+            pltpu.VMEM((R, 35, 8, LANE), jnp.int32),
+        ],
+        interpret=interpret,
+    )
+    return f(win, pos0.reshape(LB, 1, 8, LANE),
+             relend.reshape(LB, 1, 8, LANE),
+             active.reshape(LB, 1, 8, LANE))

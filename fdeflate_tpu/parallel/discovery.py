@@ -79,11 +79,23 @@ _CLCL = np.array(
 def validate_stage2(payload: bytes, cands: np.ndarray, chunk: int = 65536):
     """Decode each candidate's CL-coded lengths section; keep structurally
     valid headers.  Returns (offsets, header_end_bits) — both int64 arrays,
-    sorted.  Vectorized over candidates in chunks."""
+    sorted.  Vectorized over candidates in chunks.
+
+    The ~320-step decode loop reads the stream through a precomputed 7-bit
+    lookahead table (one int16 per bit offset, built with shifted slices):
+    2 gathers per step instead of 14 bit gathers, all bookkeeping int32.
+    """
     bits = np.unpackbits(
         np.frombuffer(payload, np.uint8), bitorder="little"
     ).astype(np.int32)
     n = len(bits)
+    # v7_all[p] = the 7 bits at offset p (zeros past the end).
+    bits8 = np.unpackbits(
+        np.frombuffer(payload, np.uint8), bitorder="little")
+    bp = np.concatenate([bits8, np.zeros(16, np.uint8)]).astype(np.int16)
+    v7_all = np.zeros(n + 8, np.int16)
+    for j in range(7):
+        v7_all += bp[j : j + n + 8] << j
     keep_off = []
     keep_end = []
     for lo in range(0, len(cands), chunk):
@@ -91,24 +103,24 @@ def validate_stage2(payload: bytes, cands: np.ndarray, chunk: int = 65536):
         K = len(c)
         if K == 0:
             continue
-        hlit = _fields(bits, c, 3, 5).astype(np.int64) + 257
-        hdist = _fields(bits, c, 8, 5).astype(np.int64) + 1
-        ncl = _fields(bits, c, 13, 4).astype(np.int64) + 4
-        cl = np.zeros((K, 19), np.int64)  # indexed by symbol (0..18)
+        hlit = _fields(bits, c, 3, 5).astype(np.int32) + 257
+        hdist = _fields(bits, c, 8, 5).astype(np.int32) + 1
+        ncl = _fields(bits, c, 13, 4).astype(np.int32) + 4
+        cl = np.zeros((K, 19), np.int32)  # indexed by symbol (0..18)
         for j in range(19):
             v = _fields(bits, c, 17 + 3 * j, 3)
             sym = _CLCL[j]
             cl[:, sym] = np.where(j < ncl, v, 0)
 
         # Per-candidate canonical decode parameters for the CL tree.
-        cnt = np.zeros((K, _MAXCL + 1), np.int64)
+        cnt = np.zeros((K, _MAXCL + 1), np.int32)
         for L in range(1, _MAXCL + 1):
             cnt[:, L] = (cl == L).sum(axis=1)
-        first = np.zeros((K, _MAXCL + 1), np.int64)
-        code = np.zeros(K, np.int64)
-        bound = np.zeros((K, _MAXCL + 1), np.int64)
-        off = np.zeros((K, _MAXCL + 1), np.int64)
-        acc = np.zeros(K, np.int64)
+        first = np.zeros((K, _MAXCL + 1), np.int32)
+        code = np.zeros(K, np.int32)
+        bound = np.zeros((K, _MAXCL + 1), np.int32)
+        off = np.zeros((K, _MAXCL + 1), np.int32)
+        acc = np.zeros(K, np.int32)
         for L in range(1, _MAXCL + 1):
             first[:, L] = code
             bound[:, L] = (code + cnt[:, L]) << (_MAXCL - L)
@@ -119,20 +131,20 @@ def validate_stage2(payload: bytes, cands: np.ndarray, chunk: int = 65536):
         order = np.argsort(
             np.where(cl > 0, cl, 99) * 32 + np.arange(19)[None, :],
             axis=1, kind="stable",
-        )  # symbols sorted by (length, symbol); unused symbols last
+        ).astype(np.int32)  # (length, symbol) order; unused symbols last
 
         rev7 = np.array(
-            [int(format(x, "07b")[::-1], 2) for x in range(128)], np.int64
+            [int(format(x, "07b")[::-1], 2) for x in range(128)], np.int32
         )
 
         pos = c.astype(np.int64) + 17 + 3 * ncl
         total = hlit + hdist
-        written = np.zeros(K, np.int64)
-        prev = np.zeros(K, np.int64)
-        kraft_l = np.zeros(K, np.int64)
-        kraft_d = np.zeros(K, np.int64)
-        nz_d = np.zeros(K, np.int64)
-        len256 = np.zeros(K, np.int64)
+        written = np.zeros(K, np.int32)
+        prev = np.zeros(K, np.int32)
+        kraft_l = np.zeros(K, np.int32)
+        kraft_d = np.zeros(K, np.int32)
+        nz_d = np.zeros(K, np.int32)
+        len256 = np.zeros(K, np.int32)
         bad = np.zeros(K, bool)
 
         def add_lengths(value, start, count):
@@ -154,12 +166,9 @@ def validate_stage2(payload: bytes, cands: np.ndarray, chunk: int = 65536):
             if not live.any():
                 break
             p = np.where(live, pos, 0)
-            v7 = np.zeros(K, np.int64)
-            for j in range(7):
-                idx = p + j
-                v7 |= np.where(idx < n, bits[np.minimum(idx, n - 1)], 0) << j
+            v7 = v7_all[np.minimum(p, n)].astype(np.int32)
             r7 = rev7[v7]
-            L = np.ones(K, np.int64)
+            L = np.ones(K, np.int32)
             for l in range(1, _MAXCL):
                 L += (r7 >= bound[:, l]) & (bound[:, l] < (1 << _MAXCL))
             # bound rows are monotone; cap by lengths that exist
@@ -177,12 +186,9 @@ def validate_stage2(payload: bytes, cands: np.ndarray, chunk: int = 65536):
             is_plain = sym <= 15
             base = np.where(sym == 16, 3, np.where(sym == 17, 3, 11))
             ebits = np.where(sym == 16, 2, np.where(sym == 17, 3, 7))
-            ev = np.zeros(K, np.int64)
-            for j in range(7):
-                idx2 = p + L + j
-                ev |= np.where(
-                    (j < ebits) & (idx2 < n), bits[np.minimum(idx2, n - 1)], 0
-                ) << j
+            ev = v7_all[np.minimum(p + L, n)].astype(np.int32) & (
+                (1 << ebits) - 1
+            )
             rep = np.where(is_plain, 1, base + ev)
             value = np.where(is_plain, sym, np.where(sym == 16, prev, 0))
             bad |= live & (sym == 16) & (written == 0)
@@ -213,8 +219,160 @@ def validate_stage2(payload: bytes, cands: np.ndarray, chunk: int = 65536):
     return np.concatenate(keep_off), np.concatenate(keep_end)
 
 
-def find_block_boundaries(payload: bytes):
-    """Full scan: (offsets, header_end_bits) of validated dynamic headers."""
+@functools.lru_cache(maxsize=6)
+def _jit_stage1(NB: int, M: int):
+    """Jitted stage-1 screen over every bit offset.
+
+    Pure shifted-slice elementwise math over an int8 bit array — no
+    gathers (a per-offset gather formulation would cost ~9 cycles/elem
+    through XLA; slices are bandwidth-speed).  Returns the first M
+    passing offsets (on-device cumsum compaction) plus the total count.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(bytes_d, n_bits):
+        i32 = jnp.int32
+        bits8 = (bytes_d[:, None] >> jnp.arange(8, dtype=jnp.uint8)) & 1
+        bits = bits8.reshape(-1).astype(jnp.int8)  # [8*nb], nb*8 >= NB+96
+
+        def sl(k):
+            return jax.lax.slice(bits, (k,), (k + NB,))
+
+        ok = (sl(1) == 0) & (sl(2) == 1)
+        hlit = jnp.zeros(NB, i32)
+        for j in range(5):
+            hlit = hlit | (sl(3 + j).astype(i32) << j)
+        hdist = jnp.zeros(NB, i32)
+        for j in range(5):
+            hdist = hdist | (sl(8 + j).astype(i32) << j)
+        ok = ok & (hlit <= 29) & (hdist <= 29)
+        ncl = jnp.zeros(NB, i32)
+        for j in range(4):
+            ncl = ncl | (sl(13 + j).astype(i32) << j)
+        ncl = ncl + 4
+        kraft = jnp.zeros(NB, i32)
+        nz = jnp.zeros(NB, i32)
+        for j in range(19):
+            cl = (sl(17 + 3 * j).astype(i32)
+                  | (sl(18 + 3 * j).astype(i32) << 1)
+                  | (sl(19 + 3 * j).astype(i32) << 2))
+            use = (j < ncl) & (cl > 0)
+            kraft = kraft + jnp.where(use, 1 << (_MAXCL - cl), 0)
+            nz = nz + use.astype(i32)
+        ok = ok & (kraft == (1 << _MAXCL)) & (nz >= 2)
+        ok = ok & (jnp.arange(NB, dtype=i32) < n_bits)
+
+        csum = jnp.cumsum(ok.astype(i32))
+        pos = jnp.where(ok, csum - 1, M)
+        out = jnp.zeros(M, i32).at[pos].set(
+            jnp.arange(NB, dtype=i32), mode="drop")
+        return out, csum[-1]
+
+    return run
+
+
+def scan_stage1_device(payload: bytes, min_tail_bits: int = 400):
+    """Device-side stage-1 screen (vs the numpy `scan_stage1`): ~elementwise
+    bandwidth on TPU where the host scan costs ~1 us/bit.  Returns the same
+    sorted candidate offsets."""
+    n_bits = len(payload) * 8 - min_tail_bits
+    if n_bits <= 0:
+        return np.zeros(0, np.int64)
+    # Bucket the padded size so the jit cache stays small.
+    NB = max(1 << 16, 1 << (n_bits - 1).bit_length())
+    nb_bytes = (NB + 96) // 8 + 16
+    M = max(4096, NB // 128)  # ~0.8% slots vs ~0.1% measured pass rate
+    buf = np.zeros(nb_bytes, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    out, count = _jit_stage1(NB, M)(buf, np.int32(n_bits))
+    count = int(np.asarray(count))
+    if count > M:  # overflow: fall back to the exact host scan
+        return scan_stage1(payload, min_tail_bits)
+    return np.sort(np.asarray(out)[:count]).astype(np.int64)
+
+
+@functools.lru_cache(maxsize=6)
+def _jit_stage2(LB: int):
+    """Jitted (window gather -> header-validation kernel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops import pallas_inflate as PI
+
+    wwin = PI._VAL_WWIN
+
+    @jax.jit
+    def run(words_d, starts_d, pos0_d, relend_d, act_d):
+        words_ext = jnp.concatenate([words_d, jnp.zeros((1,), jnp.int32)])
+        idx = jnp.minimum(
+            starts_d.reshape(LB, 1, 8, 128)
+            + jnp.arange(wwin, dtype=jnp.int32).reshape(1, wwin, 1, 1),
+            words_d.shape[0],
+        )
+        win = jnp.take(words_ext, idx, axis=0)
+        return PI.validate_headers_blocked(win, pos0_d, relend_d, act_d)
+
+    return run
+
+
+def validate_stage2_device(payload: bytes, cands: np.ndarray,
+                           words_dev=None):
+    """Device-side stage 2: one kernel lane per candidate (the ~320-step
+    CL-section decode that costs ~2 s/8 MiB in numpy).  Same results as
+    `validate_stage2` (the numpy oracle)."""
+    L = len(cands)
+    if L == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    import jax.numpy as jnp
+
+    if words_dev is None:
+        words_dev = stage_words(payload)
+    n_bits = len(payload) * 8
+    LB = (L + 1023) // 1024
+    nlanes = LB * 1024
+
+    start_w = np.zeros(nlanes, np.int32)
+    pos0 = np.zeros(nlanes, np.int32)
+    relend = np.zeros(nlanes, np.int32)
+    act = np.zeros(nlanes, np.int32)
+    start_w[:L] = (cands >> 5).astype(np.int32)
+    pos0[:L] = (cands & 31).astype(np.int32)
+    relend[:L] = (n_bits - (cands >> 5) * 32).astype(np.int32)
+    act[:L] = 1
+
+    def blocked1(a):  # [nlanes] -> [LB, 8, 128]
+        return np.ascontiguousarray(a.reshape(LB, 8, 128))
+
+    good, end = _jit_stage2(LB)(
+        words_dev,
+        jnp.asarray(blocked1(start_w)),
+        jnp.asarray(blocked1(pos0)),
+        jnp.asarray(blocked1(relend)),
+        jnp.asarray(blocked1(act)),
+    )
+    good_np = np.asarray(good).reshape(nlanes)[:L] != 0
+    end_np = np.asarray(end).reshape(nlanes)[:L].astype(np.int64)
+    offs = cands[good_np]
+    ends = end_np[good_np] + (offs >> 5) * 32
+    return offs.astype(np.int64), ends
+
+
+def find_block_boundaries(payload: bytes, words_dev=None):
+    """Full scan: (offsets, header_end_bits) of validated dynamic headers.
+
+    On TPU backends both stages run on the accelerator: stage 1 (the
+    per-bit-offset structural screen) as shifted-slice elementwise XLA,
+    stage 2 (full CL-section decode of the ~0.1% survivors) as the
+    header-validation Pallas kernel.  On other backends both stages are
+    vectorized numpy/jitted-CPU.
+    """
+    import jax
+
+    if jax.default_backend() == "tpu":
+        c1 = scan_stage1_device(payload)
+        return validate_stage2_device(payload, c1, words_dev=words_dev)
     c1 = scan_stage1(payload)
     return validate_stage2(payload, c1)
 
@@ -281,7 +439,7 @@ def try_foreign(data: bytes, max_steps: int = 6144,
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    offsets, _hdr_ends = find_block_boundaries(data)
+    offsets, _hdr_ends = find_block_boundaries(data, words_dev=words_dev)
     if len(offsets) == 0 or offsets[0] != 16:
         if 16 not in set(offsets.tolist()):
             return None  # first block not dynamic (stored/fixed)

@@ -179,6 +179,34 @@ class TestKernelVsOracle:
         assert done[0, 0, 10] != 1
 
 
+class TestHeaderValidatorKernel:
+    """Device stage-2 (header-validation kernel) vs the numpy oracle."""
+
+    def test_matches_numpy_stage2(self):
+        from fdeflate_tpu.parallel import discovery as D
+
+        rng = np.random.default_rng(9)
+        wp = [rng.bytes(int(rng.integers(3, 12))) for _ in range(256)]
+        data = b"".join(
+            wp[int(rng.integers(256))] for _ in range(12000))[: 72 << 10]
+        for z in (zlib.compress(data, 6), zlib.compress(bytes(60000), 6)):
+            c1 = D.scan_stage1(z)
+            assert len(c1) > 0
+            o_ref, e_ref = D.validate_stage2(z, c1)
+            o_dev, e_dev = D.validate_stage2_device(z, c1)
+            assert (o_ref == o_dev).all() and (e_ref == e_dev).all()
+
+    def test_stage1_device_matches_numpy(self):
+        from fdeflate_tpu.parallel import discovery as D
+
+        rng = np.random.default_rng(13)
+        data = (rng.integers(0, 16, 50000).astype(np.uint8) * 2).tobytes()
+        z = zlib.compress(data, 6)
+        a = D.scan_stage1(z)
+        b = D.scan_stage1_device(z)
+        assert len(a) == len(b) and (a == b).all()
+
+
 class TestSequentialPallasEngine:
     """decompress_batch's per-block loop through the record kernel: one
     lane per stream, dynamic AND fixed blocks, exact per-stream XLA redo
