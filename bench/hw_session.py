@@ -224,6 +224,54 @@ def foreign_sweep():
                       f"{len(data)/t/1e9:.3f} GB/s", flush=True)
 
 
+def batch_sweep():
+    """Batched foreign decode: 8 x 2 MiB streams in shared launches vs
+    per-stream try_foreign (lane-utilization measurement)."""
+    import time
+    import zlib
+
+    import numpy as np
+
+    from fdeflate_tpu.parallel import discovery as D
+
+    rng = np.random.default_rng(11)
+    wp = [rng.bytes(int(rng.integers(3, 12))) for _ in range(256)]
+    datas = []
+    for s in range(8):
+        r = np.random.default_rng(100 + s)
+        datas.append(b"".join(
+            wp[int(r.integers(256))] for _ in range(310000))[: 2 << 20])
+    streams = [zlib.compress(d, 6) for d in datas]
+    total = sum(len(d) for d in datas)
+
+    t0 = time.perf_counter()
+    res = D.try_foreign_batch(streams, engine="pallas")
+    t_first = time.perf_counter() - t0
+    ok = all(r == d for r, d in zip(res, datas))
+    print(f"batch first: {t_first:6.2f} s  ok={ok}", flush=True)
+    if not ok:
+        print("batch results:", [r is not None for r in res], flush=True)
+        return
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        res = D.try_foreign_batch(streams, engine="pallas")
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+    print(f"batch warm: {t*1e3:6.0f} ms  {total/t/1e9:.3f} GB/s "
+          f"(8 x 2 MiB)", flush=True)
+
+    ts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        res2 = [D.try_foreign(z, engine="pallas") for z in streams]
+        ts.append(time.perf_counter() - t0)
+    t = min(ts)
+    ok2 = all(r == d for r, d in zip(res2, datas))
+    print(f"per-stream:  {t*1e3:6.0f} ms  {total/t/1e9:.3f} GB/s  ok={ok2}",
+          flush=True)
+
+
 def main():
     if not wait_for_tpu():
         print("[hw_session] gave up waiting for TPU", flush=True)
@@ -233,6 +281,11 @@ def main():
         foreign_sweep()
     except Exception as e:  # noqa: BLE001
         print(f"[hw_session] foreign_sweep FAIL {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
+    try:
+        batch_sweep()
+    except Exception as e:  # noqa: BLE001
+        print(f"[hw_session] batch_sweep FAIL {type(e).__name__}: "
               f"{str(e)[:300]}", flush=True)
     sweep()
     enc_sweep()

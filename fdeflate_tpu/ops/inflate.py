@@ -1013,16 +1013,24 @@ def decompress_batch(
 
     results_par: dict[int, bytes] = {}
     if try_parallel:
-        from ..parallel.discovery import try_foreign
+        from ..parallel.discovery import try_foreign, try_foreign_batch
 
-        for i, s in enumerate(streams):
-            # Multi-block streams start at ~64 KiB of payload (the host
-            # compressors cut blocks at 16384 symbols); below that the
-            # sequential path is already a single launch.
-            if len(s) >= 49152:
-                r = try_foreign(s, max_steps=max_steps)
+        # Multi-block streams start at ~64 KiB of payload (the host
+        # compressors cut blocks at 16384 symbols); below that the
+        # sequential path is already a single launch.
+        big = [i for i, s in enumerate(streams) if len(s) >= 49152]
+        if len(big) > 1:
+            # Merge every big stream's blocks into shared kernel launches
+            # (per-stream decode leaves most lanes idle).
+            for i, r in zip(big, try_foreign_batch(
+                    [streams[i] for i in big], max_steps=max_steps,
+                    engine=engine)):
                 if r is not None:
                     results_par[i] = r
+        elif big:
+            r = try_foreign(streams[big[0]], max_steps=max_steps)
+            if r is not None:
+                results_par[big[0]] = r
         if len(results_par) == len(streams):
             return [results_par[i] for i in range(len(streams))]
         streams_seq = [

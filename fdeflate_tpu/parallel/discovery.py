@@ -405,6 +405,40 @@ def decompress_foreign(data: bytes, max_steps: int = 6144) -> bytes:
     return r if r is not None else fallback()
 
 
+def _scan_parse(data: bytes, words_dev=None):
+    """zlib header check + boundary scan + per-candidate header parse.
+
+    Returns the lane list [(off, bfinal, sym_start, lengths, hlit)] —
+    sorted by offset, first lane at bit 16 — or None when the stream
+    cannot enter the block-parallel path.
+    """
+    if len(data) < 7:
+        return None
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 0x08 or ((cmf << 8) | flg) % 31 != 0 or flg & 0x20:
+        return None
+
+    offsets, _hdr_ends = find_block_boundaries(data, words_dev=words_dev)
+    if 16 not in set(offsets.tolist()):
+        return None  # first block not dynamic (stored/fixed)
+
+    lanes = []
+    for off in offsets.tolist():
+        r = I._HostBitReader(data, off)
+        bfinal = r.take(1)
+        btype = r.take(2)
+        if btype != 0b10:
+            continue
+        try:
+            lengths, hlit = I._parse_dynamic_lengths(r)
+        except E.DecompressionError:
+            continue
+        lanes.append((off, bool(bfinal), r.pos, lengths, hlit))
+    if not lanes or lanes[0][0] != 16:
+        return None
+    return lanes
+
+
 def try_foreign(data: bytes, max_steps: int = 6144,
                 engine: str = "auto", words_dev=None,
                 return_device: bool = False):
@@ -430,34 +464,11 @@ def try_foreign(data: bytes, max_steps: int = 6144,
     import jax
     import jax.numpy as jnp
 
-    # zlib framing: 2-byte header; first block header starts at bit 16.
-    if len(data) < 7:
-        return None
-    cmf, flg = data[0], data[1]
-    if cmf & 0x0F != 0x08 or ((cmf << 8) | flg) % 31 != 0 or flg & 0x20:
-        return None
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
 
-    offsets, _hdr_ends = find_block_boundaries(data, words_dev=words_dev)
-    if len(offsets) == 0 or offsets[0] != 16:
-        if 16 not in set(offsets.tolist()):
-            return None  # first block not dynamic (stored/fixed)
-
-    # Host: parse each candidate's header -> code lengths + symbol-start bit.
-    lanes = []
-    for off in offsets.tolist():
-        r = I._HostBitReader(data, off)
-        bfinal = r.take(1)
-        btype = r.take(2)
-        if btype != 0b10:
-            continue
-        try:
-            lengths, hlit = I._parse_dynamic_lengths(r)
-        except E.DecompressionError:
-            continue
-        lanes.append((off, bool(bfinal), r.pos, lengths, hlit))
-    if not lanes or lanes[0][0] != 16:
+    lanes = _scan_parse(data, words_dev=words_dev)
+    if lanes is None:
         return None
 
     L = len(lanes)
@@ -535,6 +546,145 @@ def try_foreign(data: bytes, max_steps: int = 6144,
     if stored != zlib.adler32(result):
         return None  # chain was structurally plausible but wrong
     return result
+
+
+def try_foreign_batch(streams: list[bytes], max_steps: int = 6144,
+                      engine: str = "auto"):
+    """Block-parallel decode of MANY foreign streams in shared launches.
+
+    Per-stream `try_foreign` leaves most kernel lanes idle (a 1 MiB stream
+    has ~10 blocks vs the 1024 lanes of one lane-block); this merges every
+    stream's discovered blocks into one global lane list, decodes them in
+    shared kernel launches against the concatenated stream words, then
+    chain-walks and materializes per stream (one materialize for all
+    confirmed streams).  Returns, per stream, the decompressed bytes or
+    None (caller falls back for that stream).
+    """
+    import zlib
+
+    import jax
+    import jax.numpy as jnp
+
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    S = len(streams)
+    if engine != "pallas" or S <= 1:
+        return [try_foreign(s, max_steps=max_steps, engine=engine)
+                for s in streams]
+
+    results: list[bytes | None] = [None] * S
+
+    padded = [s + bytes((-len(s)) % 4) + bytes(8) for s in streams]
+    word_base = np.zeros(S + 1, np.int64)
+    word_base[1:] = np.cumsum([len(p) // 4 for p in padded])
+    words_dev = jnp.asarray(
+        np.frombuffer(b"".join(padded), "<u4").astype(np.int32))
+
+    glanes = []           # global lanes, stream-major
+    lane_range = {}       # si -> (lo, hi) into glanes
+    for si, s in enumerate(streams):
+        lanes = _scan_parse(
+            s, words_dev=words_dev[word_base[si]:word_base[si + 1]])
+        if lanes is None:
+            continue
+        lo = len(glanes)
+        gbase = int(word_base[si]) * 32
+        for off, bfinal, sym_start, lengths, hlit in lanes:
+            glanes.append((off, bfinal, gbase + sym_start, lengths, hlit))
+        lane_range[si] = (lo, len(glanes))
+    if not glanes:
+        return results
+
+    decoded = _pallas_lane_decode(b"", glanes, max_steps,
+                                  words_dev=words_dev)
+    if decoded is None:
+        return results
+    records, bpos_np, eob_np = decoded
+    L_all = len(glanes)
+    K = records[0].shape[0]
+
+    # Per-stream chain walks (bit positions converted back to local).
+    mask_np = np.zeros(L_all, bool)
+    finals = {}  # si -> final_exit local bit position
+    for si, (lo, hi) in lane_range.items():
+        gbase = int(word_base[si]) * 32
+        by_off = {glanes[i][0]: i for i in range(lo, hi)}
+        chain = []
+        cur = 16
+        while True:
+            i = by_off.get(cur)
+            if i is None or not eob_np[i]:
+                chain = None
+                break
+            chain.append(i)
+            if glanes[i][1]:  # BFINAL
+                finals[si] = int(bpos_np[i]) - gbase
+                break
+            cur = int(bpos_np[i]) - gbase
+        if chain:
+            mask_np[chain] = True
+        else:
+            finals.pop(si, None)
+    confirmed = sorted(finals.keys())
+    if not confirmed:
+        return results
+    Sc = len(confirmed)
+
+    # Stitch: lane-major flatten; stream si's records are the contiguous
+    # flat range [lo*K, hi*K); pad columns to the widest stream.
+    mask = jnp.asarray(mask_np)[None, :]
+    rl, rlh, rc, rn, rd = records[:5]
+    rl = jnp.where(mask, rl, 0)
+    rc = jnp.where(mask, rc, 0)
+    rn = jnp.where(mask, rn, 0)
+    rd = jnp.where(mask, rd, 0)
+
+    Kcol = max((lane_range[si][1] - lane_range[si][0]) * K
+               for si in confirmed)
+    lo_np = np.array([lane_range[si][0] for si in confirmed], np.int32)
+    width_np = np.array(
+        [(lane_range[si][1] - lane_range[si][0]) * K for si in confirmed],
+        np.int32)
+
+    ks = jnp.arange(Kcol, dtype=jnp.int32)[:, None]
+    valid = ks < jnp.asarray(width_np)[None, :]
+    idx = jnp.where(valid, jnp.asarray(lo_np)[None, :] * K + ks, L_all * K)
+
+    def columns(a):
+        flat = jnp.concatenate(
+            [a.T.reshape(-1), jnp.zeros((1,), a.dtype)])
+        return jnp.take(flat, idx, axis=0)
+
+    rl2, rlh2, rc2, rn2, rd2 = (
+        columns(rl), columns(rlh), columns(rc), columns(rn), columns(rd))
+    adv = rc2.astype(jnp.int32) + rn2
+    pos = jnp.cumsum(adv, axis=0) - adv
+    bad = np.asarray(jnp.any((rd2 > 0) & (rd2 > pos), axis=0))
+    produced = np.asarray(jnp.sum(adv, axis=0))
+
+    ok_cols = ~bad
+    if not ok_cols.any():
+        return results
+    prod_ok = np.where(ok_cols, produced, 0)
+    cap = 1 << int(np.ceil(np.log2(max(int(prod_ok.max()), 256))))
+    out, _ = I.materialize(
+        (rl2, rlh2, rc2, rn2, rd2),
+        jnp.zeros((Sc, I.WINDOW), jnp.uint8),
+        jnp.asarray(prod_ok.astype(np.int32)),
+        out_capacity=cap,
+    )
+    out_np = np.asarray(out)
+
+    for ci, si in enumerate(confirmed):
+        if not ok_cols[ci]:
+            continue
+        data = streams[si]
+        result = out_np[ci, : produced[ci]].tobytes()
+        tb = (finals[si] + 7) & ~7
+        stored = int.from_bytes(data[tb // 8 : tb // 8 + 4], "big")
+        if stored == zlib.adler32(result):
+            results[si] = result
+    return results
 
 
 def _xla_lane_decode(data: bytes, lanes, max_steps: int):

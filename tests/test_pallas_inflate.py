@@ -179,6 +179,62 @@ class TestKernelVsOracle:
         assert done[0, 0, 10] != 1
 
 
+class TestCraftedStreamsPallas:
+    """Kernel edge paths on hand-built streams (zlib never emits these):
+    15-bit litlen codes, max-distance/max-length matches, single-dist
+    trees — through the sequential pallas engine."""
+
+    def test_15bit_codes_and_extremes(self):
+        from test_crafted_streams import emit_dynamic_block, lopsided_lengths
+
+        # 15-bit litlen codes (deep canonical tree)
+        z1, expected = emit_dynamic_block(
+            lopsided_lengths(), np.zeros(30, np.int64),
+            [0, 1, 2, 13, 14, 14, 0, 5, 9, 14] * 5)
+
+        # max-length (258) and max-distance (32768) matches; history is
+        # built with matches so the record count stays small
+        litlen2 = np.full(286, 9, np.int64)
+        litlen2[:226] = 8  # 226/256 + 60/512 = 1: exact Kraft
+        dist2 = np.zeros(30, np.int64)
+        dist2[17] = 1  # covers dist 385..512
+        dist2[29] = 1  # base 24577, 13 extra -> up to 32768
+        rng = np.random.default_rng(3)
+        head = list(rng.integers(0, 226, 512).astype(np.uint8).tolist())
+        syms2 = head + [(258, 512)] * 126 + [(258, 32768)]
+        z2, expected2 = emit_dynamic_block(litlen2, dist2, syms2)
+        assert len(expected2) == 512 + 127 * 258
+
+        res = I._decompress_batch_sequential(
+            [z1, z2], max_steps=640, engine="pallas")
+        assert res[0] == expected
+        assert res[1] == expected2
+        # engine agreement
+        res_x = I._decompress_batch_sequential(
+            [z1, z2], max_steps=640, engine="xla")
+        assert res == res_x
+
+
+class TestForeignBatch:
+    def test_mixed_batch(self):
+        from fdeflate_tpu.parallel import discovery as D
+
+        rng = np.random.default_rng(41)
+        wp = [rng.bytes(int(rng.integers(3, 12))) for _ in range(64)]
+
+        def mk(n, seed):
+            r = np.random.default_rng(seed)
+            return b"".join(wp[int(r.integers(64))] for _ in range(n))
+
+        datas = [mk(3000, 1), mk(5000, 2), b"not zlib" * 50, mk(2000, 3)]
+        streams = [zlib.compress(d, 6) if i != 2 else d
+                   for i, d in enumerate(datas)]
+        res = D.try_foreign_batch(streams, max_steps=1600, engine="pallas")
+        assert res[2] is None
+        for i in (0, 1, 3):
+            assert res[i] == datas[i], i
+
+
 class TestHeaderValidatorKernel:
     """Device stage-2 (header-validation kernel) vs the numpy oracle."""
 
