@@ -215,6 +215,45 @@ class TestCraftedStreamsPallas:
         assert res == res_x
 
 
+class TestBatchDifferential:
+    def test_many_random_streams_one_launch(self):
+        """64 streams of varied corpora/levels/strategies decode in shared
+        kernel launches (lanes are ~free in interpret mode); every result
+        must equal zlib's and the XLA engine's."""
+        rng = np.random.default_rng(77)
+        wp = [rng.bytes(int(rng.integers(2, 20))) for _ in range(64)]
+        streams, datas = [], []
+        for i in range(64):
+            kind = i % 6
+            n = int(rng.integers(50, 4000))
+            if kind == 0:
+                d = rng.bytes(n)  # incompressible -> stored blocks
+            elif kind == 1:
+                d = bytes(n)  # zeros
+            elif kind == 2:
+                d = b"".join(wp[int(rng.integers(64))]
+                             for _ in range(max(1, n // 8)))
+            elif kind == 3:
+                d = (rng.integers(0, 4, n) * 67).astype(np.uint8).tobytes()
+            elif kind == 4:
+                d = (b"abc" * (n // 3 + 1))[:n]
+            else:
+                d = bytes([int(x) for x in rng.integers(0, 2, n)])
+            lvl = int(rng.integers(1, 10))
+            strat = [zlib.Z_DEFAULT_STRATEGY, zlib.Z_FIXED,
+                     zlib.Z_HUFFMAN_ONLY, zlib.Z_RLE][i % 4]
+            co = zlib.compressobj(lvl, zlib.DEFLATED, 15, 8, strat)
+            streams.append(co.compress(d) + co.flush())
+            datas.append(d)
+        rp = I._decompress_batch_sequential(
+            streams, max_steps=1024, engine="pallas")
+        rx = I._decompress_batch_sequential(
+            streams, max_steps=1024, engine="xla")
+        for i, (a, b, d) in enumerate(zip(rp, rx, datas)):
+            assert a == d, f"stream {i} pallas mismatch"
+            assert b == d, f"stream {i} xla mismatch"
+
+
 class TestForeignBatch:
     def test_mixed_batch(self):
         from fdeflate_tpu.parallel import discovery as D
