@@ -821,10 +821,13 @@ def _seq_pallas_launch(states, active_np, words, max_steps: int):
     B = len(states)
     LB = (B + 1023) // 1024
     nlanes = LB * 1024
-    K = min(65536, max(16, 4 * max_steps))
-    K += (-K) % 16
+    # Bucket every shape key: each distinct kernel/program shape costs a
+    # fresh compile (~20-60 s over the accelerator tunnel).  K and wwin go
+    # to powers of two (the freeze/resume protocol makes K a latency knob,
+    # not a correctness bound); the stream count pads to a bucket too.
+    K = min(8192, 1 << max(4, (4 * max_steps - 1).bit_length()))
     Wmax = words.shape[1]
-    wwin = min(Wmax, _SEQ_WWIN_CAP)
+    wwin = min(1 << max(6, (Wmax - 1).bit_length()), _SEQ_WWIN_CAP)
     wwin += (-wwin) % 8
 
     start_w = np.zeros(B, np.int32)
@@ -1070,6 +1073,17 @@ def _decompress_batch_sequential(
 
     if engine == "auto":
         engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if not streams:
+        return []
+
+    # Pad the batch to a power-of-two bucket with empty dummy streams so
+    # device program shapes (decode launches, materialize) do not track
+    # the caller's exact stream count — every distinct shape is a fresh
+    # compile (~20-60 s over the accelerator tunnel).  Dummies go inert at
+    # the first header parse; their results are dropped.
+    B_real = len(streams)
+    pad_to = 1 << max(0, (B_real - 1).bit_length())
+    streams = list(streams) + [b""] * (pad_to - B_real)
 
     states = [_StreamState(s) for s in streams]
     for st in states:
@@ -1220,4 +1234,4 @@ def _decompress_batch_sequential(
             results.append(E.InsufficientInput())
         else:
             results.append(bytes(st.out))
-    return results
+    return results[:B_real]

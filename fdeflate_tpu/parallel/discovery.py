@@ -696,6 +696,11 @@ def _xla_lane_decode(data: bytes, lanes, max_steps: int):
     import jax.numpy as jnp
 
     L = len(lanes)
+    # Real zlib blocks run to 16384 symbols (one decode step per match);
+    # a short budget would decode every lane and then fail the chain walk,
+    # wasting the whole launch.  decode_symbols early-exits once all lanes
+    # finish, so the bigger budget costs only record memory.
+    max_steps = max(max_steps, 18432)
     Wmax = (len(data) + 3) // 4 + 2
     words_np = np.zeros((1, Wmax), np.uint32)
     padded = data + bytes((-len(data)) % 4) + bytes(8)
@@ -816,7 +821,10 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
     if words_dev is None:
         words_dev = stage_words(data)
     W = words_dev.shape[0]
-    wwin = min(W + 8, _WWIN_CAP)
+    # Bucket the window size (power of two up to the cap): every distinct
+    # kernel shape costs a fresh Mosaic compile (~20-60 s over this
+    # accelerator tunnel), so shape keys must not track stream sizes.
+    wwin = min(1 << max(6, (W + 7).bit_length()), _WWIN_CAP)
     wwin += (-wwin) % 8
 
     start_word = np.zeros(nlanes, np.int32)
@@ -843,7 +851,8 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
     # freeze in-kernel at the window edge keeping their exact bit position
     # (pallas_inflate stop_bits); each round re-stages windows at the
     # current positions and the per-launch record planes concatenate.
-    K_launch = min(K, 8192)
+    # Power-of-two launch budget: one executable per (LB, wwin, K_launch).
+    K_launch = min(1 << (K - 1).bit_length(), 8192)
     pos_cur = np.array([sym for (_o, _b, sym, _le, _hl) in lanes], np.int64)
     state = np.zeros(L, np.int8)  # 0 running, 1 eob, 2 error
     parts: list[tuple] = []
