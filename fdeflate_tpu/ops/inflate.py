@@ -443,7 +443,8 @@ def decode_symbols(
 # ---------------------------------------------------------------------------
 
 
-def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | None = None):
+def materialize(records, window, produced, out_capacity: int,
+                ptr_rounds: int | None = None, want_window: bool = True):
     """Expand decode records into output bytes.
 
     Args:
@@ -590,6 +591,11 @@ def materialize(records, window, produced, out_capacity: int, ptr_rounds: int | 
     out_ext = jnp.take_along_axis(base, p, axis=1)
     out = out_ext[:, WINDOW:].astype(jnp.uint8)
     out = jnp.where(in_new[:, WINDOW:], out, 0)
+
+    if not want_window:
+        # Single-shot callers (block-parallel discovery, batch stitch)
+        # never read the updated window; skip its output-sized gather.
+        return out, window
 
     # New window: last 32K of (window ++ produced output), per stream.
     full = jnp.concatenate([window.astype(jnp.int32), out.astype(jnp.int32)], axis=1)

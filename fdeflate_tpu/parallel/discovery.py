@@ -527,6 +527,7 @@ def try_foreign(data: bytes, max_steps: int = 6144,
         jnp.zeros((1, I.WINDOW), jnp.uint8),
         jnp.asarray([produced], jnp.int32),
         out_capacity=cap,
+        want_window=False,
     )
 
     # Trailer: byte-align after the final block, 4 bytes big-endian.
@@ -672,6 +673,7 @@ def try_foreign_batch(streams: list[bytes], max_steps: int = 6144,
         jnp.zeros((Sc, I.WINDOW), jnp.uint8),
         jnp.asarray(prod_ok.astype(np.int32)),
         out_capacity=cap,
+        want_window=False,
     )
     out_np = np.asarray(out)
 
