@@ -222,6 +222,17 @@ def foreign_sweep():
                 t = min(ts)
                 print(f"foreign {engine} device-resident: {t*1e3:6.0f} ms "
                       f"{len(data)/t/1e9:.3f} GB/s", flush=True)
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    rh = D.try_foreign(z, engine=engine,
+                                       words_dev=words_dev,
+                                       materialize="host")
+                    ts.append(time.perf_counter() - t0)
+                t = min(ts)
+                print(f"foreign {engine} host-materialize: {t*1e3:6.0f} ms "
+                      f"{len(data)/t/1e9:.3f} GB/s  exact={rh == ref}",
+                      flush=True)
 
 
 def batch_sweep():

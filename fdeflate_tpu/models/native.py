@@ -65,6 +65,11 @@ def _load():
         ctypes.c_int, ctypes.c_char_p, ctypes.c_size_t,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_int,
     ]
+    lib.fdn_materialize.restype = ctypes.c_longlong
+    lib.fdn_materialize.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t,
+    ]
     _lib = lib
     return _lib
 
@@ -140,3 +145,28 @@ def deflate(data: bytes, level: int, zlib_mode: bool = True) -> bytes:
         if rc >= 0:
             return out[:rc].tobytes()
         cap *= 2
+
+
+def materialize_records(recs, expected_size: int) -> bytes | None:
+    """Expand packed kernel records (ops/pallas_inflate format) into bytes.
+
+    Consumer-side materialization: the TPU record kernel does the parallel
+    symbol phase; the memcpy-bound LZ77 expansion runs on the host that
+    consumes the bytes.  ``recs`` is a C-contiguous int32 array (records in
+    output order; idle/EOB records are skipped).  Returns None on malformed
+    records or when the native backend is unavailable.
+    """
+    import numpy as np
+
+    lib = _load()
+    if lib is None:
+        return None
+    recs = np.ascontiguousarray(recs, np.int32)
+    out = np.empty(max(expected_size, 1), np.uint8)
+    rc = lib.fdn_materialize(
+        recs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), recs.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), out.size,
+    )
+    if rc < 0:
+        return None
+    return out[:rc].tobytes()

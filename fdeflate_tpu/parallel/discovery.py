@@ -441,7 +441,7 @@ def _scan_parse(data: bytes, words_dev=None):
 
 def try_foreign(data: bytes, max_steps: int = 6144,
                 engine: str = "auto", words_dev=None,
-                return_device: bool = False):
+                return_device: bool = False, materialize: str | None = None):
     """`decompress_foreign` without the fallback: bytes on a confirmed,
     checksum-verified chain decode; None when the stream needs the
     sequential path.  One decode launch + one materialize launch total.
@@ -477,9 +477,10 @@ def try_foreign(data: bytes, max_steps: int = 6144,
                                       words_dev=words_dev)
         if decoded is None:
             return None
-        records, bpos_np, eob_np = decoded
+        records, raw_recs, bpos_np, eob_np = decoded
     else:
         records, bpos_np, eob_np = _xla_lane_decode(data, lanes, max_steps)
+        raw_recs = None
 
     # Chain walk: confirm blocks whose EOB exit is the next header's start.
     by_off = {off: i for i, (off, *_rest) in enumerate(lanes)}
@@ -495,6 +496,31 @@ def try_foreign(data: bytes, max_steps: int = 6144,
             final_exit = int(bpos_np[i])
             break
         cur = int(bpos_np[i])
+
+    if materialize is None:
+        materialize = __import__("os").environ.get(
+            "FDN_FOREIGN_MATERIALIZE", "device")
+    if (materialize == "host" and raw_recs is not None
+            and not return_device):
+        # Consumer-side materialization: the kernel did the parallel symbol
+        # phase; the memcpy-bound LZ77 expansion runs on the host that
+        # consumes the bytes (native/fdeflate_native.cpp fdn_materialize).
+        from ..models import native as N
+
+        cols = jnp.asarray(np.asarray(chain, np.int32))
+        raw_chain = jnp.take(raw_recs, cols, axis=1)  # [K, n] chain order
+        flat = np.asarray(jnp.transpose(raw_chain).reshape(-1))
+        kind = (flat >> 28) & 0xF
+        pay = flat & 0x0FFFFFFF
+        adv = np.where(kind == 1, (pay >> 16) & 3,
+                       np.where(kind == 2, ((pay >> 15) & 0xFF) + 3, 0))
+        result = N.materialize_records(flat, int(adv.sum()))
+        if result is not None:
+            tb = (final_exit + 7) & ~7
+            stored = int.from_bytes(data[tb // 8 : tb // 8 + 4], "big")
+            if stored == zlib.adler32(result):
+                return result
+        return None  # malformed records / no native backend
 
     # Stitch: mask non-chain lanes inert, keep lane order (offsets sorted),
     # rearrange [K, L] -> [L*K, 1] and materialize once.
@@ -600,7 +626,7 @@ def try_foreign_batch(streams: list[bytes], max_steps: int = 6144,
                                   words_dev=words_dev)
     if decoded is None:
         return results
-    records, bpos_np, eob_np = decoded
+    records, _raw, bpos_np, eob_np = decoded
     L_all = len(glanes)
     K = records[0].shape[0]
 
@@ -782,7 +808,7 @@ def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
         recs_t = jnp.transpose(recs, (1, 0, 2, 3)).reshape(K, nlanes)
         recs_t = jnp.where(active_d[None, :], recs_t[:, :L], 0)
         records = PI.recs_to_records(recs_t)
-        return records, bpos.reshape(nlanes), done.reshape(nlanes)
+        return records, recs_t, bpos.reshape(nlanes), done.reshape(nlanes)
 
     return run
 
@@ -858,6 +884,7 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
     pos_cur = np.array([sym for (_o, _b, sym, _le, _hl) in lanes], np.int64)
     state = np.zeros(L, np.int8)  # 0 running, 1 eob, 2 error
     parts: list[tuple] = []
+    raw_parts: list = []
     slots_used = 0
     while slots_used < K and (state == 0).any():
         active = state == 0
@@ -865,7 +892,8 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
         pos0 = np.zeros(nlanes, np.int32)
         start_word[:L] = np.where(active, pos_cur >> 5, 0)
         pos0[:L] = np.where(active, pos_cur & 31, 0)
-        records, bpos_rel, done = _jit_pallas_lanes(LB, L, wwin, K_launch)(
+        records, raw, bpos_rel, done = _jit_pallas_lanes(
+            LB, L, wwin, K_launch)(
             words_dev,
             jnp.asarray(blocked(start_word.reshape(nlanes, 1))[:, 0]),
             jnp.asarray(blocked(pos0.reshape(nlanes, 1))[:, 0]),
@@ -874,6 +902,7 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
             jnp.asarray(active),
         )
         parts.append(records)
+        raw_parts.append(raw)
         done_np = np.asarray(done)[:L]
         new_pos = (np.asarray(bpos_rel)[:L].astype(np.int64)
                    + (pos_cur >> 5) * 32)
@@ -889,8 +918,10 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
 
     if len(parts) == 1:
         records = parts[0]
+        raw = raw_parts[0]
     else:
         records = tuple(
             jnp.concatenate([p[j] for p in parts], axis=0) for j in range(5)
         )
-    return records, pos_cur, state == 1
+        raw = jnp.concatenate(raw_parts, axis=0)
+    return records, raw, pos_cur, state == 1

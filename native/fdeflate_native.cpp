@@ -632,6 +632,49 @@ long long fdn_inflate(const uint8_t* in, size_t in_len, uint8_t* out,
   return static_cast<long long>(pos);
 }
 
+// Expand packed decode records from the TPU record kernel
+// (fdeflate_tpu/ops/pallas_inflate.py: bits 30..28 kind — 0 idle, 1 packed
+// literals cnt<<16|lit1<<8|lit0, 2 match (len-3)<<15|(dist-1), 3 EOB,
+// 4 error) into output bytes.  Consumer-side materialization: the TPU does
+// the bit-serial symbol phase in parallel lanes; the LZ77 byte expansion is
+// memcpy-bound and runs wherever the bytes are consumed.  Returns bytes
+// written, or -1 on a malformed record stream (bad distance / error record
+// / overflow).
+long long fdn_materialize(const int32_t* recs, size_t n_recs, uint8_t* out,
+                          size_t cap) {
+  size_t pos = 0;
+  for (size_t i = 0; i < n_recs; i++) {
+    uint32_t rec = static_cast<uint32_t>(recs[i]);
+    uint32_t kind = (rec >> 28) & 0xF;
+    if (kind == 0 || kind == 3) continue;  // idle / end-of-block
+    uint32_t pay = rec & 0x0FFFFFFF;
+    if (kind == 1) {
+      uint32_t cnt = (pay >> 16) & 3;
+      if (pos + cnt > cap) return -1;
+      out[pos] = static_cast<uint8_t>(pay & 0xFF);
+      if (cnt == 2) out[pos + 1] = static_cast<uint8_t>((pay >> 8) & 0xFF);
+      pos += cnt;
+    } else if (kind == 2) {
+      uint32_t len = ((pay >> 15) & 0xFF) + 3;
+      uint32_t dist = (pay & 0x7FFF) + 1;
+      if (dist > pos || pos + len > cap) return -1;
+      uint8_t* dst = out + pos;
+      const uint8_t* src = dst - dist;
+      if (dist == 1) {
+        memset(dst, src[0], len);
+      } else if (dist >= len) {
+        memcpy(dst, src, len);
+      } else {
+        for (uint32_t j = 0; j < len; j++) dst[j] = src[j];
+      }
+      pos += len;
+    } else {
+      return -1;  // error record
+    }
+  }
+  return static_cast<long long>(pos);
+}
+
 }  // extern "C"
 
 // ---------------------------------------------------------------------------

@@ -373,6 +373,23 @@ class TestForeignPallasEngine:
         r = D.try_foreign(z, max_steps=640, engine="pallas")
         assert r == data
 
+    def test_host_materialize_option(self):
+        """Consumer-side materialization (native fdn_materialize) agrees
+        with the device materialize."""
+        from fdeflate_tpu.models.native import available
+        from fdeflate_tpu.parallel import discovery as D
+
+        if not available():
+            pytest.skip("native backend unavailable")
+        rng = np.random.default_rng(23)
+        data = (rng.integers(0, 16, 5000).astype(np.uint8) * 7).tobytes()
+        z = zlib.compress(data, 6)
+        rh = D.try_foreign(z, max_steps=640, engine="pallas",
+                           materialize="host")
+        rd = D.try_foreign(z, max_steps=640, engine="pallas",
+                           materialize="device")
+        assert rh == data and rd == data
+
     def test_try_foreign_engines_agree_or_fall_back(self):
         from fdeflate_tpu.parallel import discovery as D
 
