@@ -9,26 +9,32 @@ self-synchronization is never assumed (it fails on run-structured streams,
 PERF_NOTES.md) — only *structural header validation*, which false-positives
 at ~1e-5 per bit after stage 2.
 
-Stage 1 (numpy, vectorized over every bit offset): BTYPE==dynamic,
-HLIT/HDIST bounds, and an exact Kraft-completeness check of the 19-symbol
-code-length (CL) tree.  Measured pass rate ~0.1% of offsets.
+Stage 1 (vectorized over every bit offset): BTYPE==dynamic, HLIT/HDIST
+bounds, and an exact Kraft-completeness check of the 19-symbol code-length
+(CL) tree.  Measured pass rate ~0.1% of offsets.  Runs as shifted-slice
+elementwise XLA on TPU backends (`scan_stage1_device`) or numpy elsewhere.
 
-Stage 2 (numpy, vectorized over stage-1 survivors): fully decode the
-CL-coded lengths section with per-candidate canonical decode parameters,
-tracking litlen/dist Kraft sums incrementally; require litlen exactly
-complete with a nonzero end-of-block code, and the distance tree exactly
-complete or degenerate (<= 1 code, reference semantics src/huffman.rs:40-59).
+Stage 2 (vectorized over stage-1 survivors): fully decode the CL-coded
+lengths section with per-candidate canonical decode parameters, tracking
+litlen/dist Kraft sums incrementally; require litlen exactly complete with
+a nonzero end-of-block code, and the distance tree exactly complete or
+degenerate (<= 1 code, reference semantics src/huffman.rs:40-59).  Runs as
+the header-validation Pallas kernel on TPU (`validate_stage2_device`,
+one lane per candidate) or numpy elsewhere; the numpy form is the oracle.
 
-Chain decode: one device lane per surviving candidate (plus the known first
-block), each decoding until the next candidate offset; a lane whose symbols
-end in EOB hands off to the lane starting at its exit position.  Blocks the
-chain cannot cover (stored/fixed blocks, false boundaries, step-budget
-overruns) fall back to the sequential host/device path for the remainder.
+Chain decode: one kernel lane per surviving candidate (plus the known first
+block), each decoding its block's records until end-of-block (window
+restages let blocks larger than one staged window resume); a lane whose EOB
+exit equals the next confirmed header's offset hands the chain on.  Streams
+the chain cannot cover (stored/fixed blocks, false boundaries, budget
+overruns) fall back to the sequential host/device path.  `try_foreign_batch`
+merges many streams' blocks into shared launches.
 """
 
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -444,7 +450,8 @@ def try_foreign(data: bytes, max_steps: int = 6144,
                 return_device: bool = False, materialize: str | None = None):
     """`decompress_foreign` without the fallback: bytes on a confirmed,
     checksum-verified chain decode; None when the stream needs the
-    sequential path.  One decode launch + one materialize launch total.
+    sequential path.  A handful of decode launches (window restages for
+    blocks larger than one staged window) + one materialize launch total.
 
     ``engine`` selects the symbol-phase decoder: "pallas" runs the
     canonical record kernel (ops/pallas_inflate — per-lane runtime trees,
@@ -498,8 +505,7 @@ def try_foreign(data: bytes, max_steps: int = 6144,
         cur = int(bpos_np[i])
 
     if materialize is None:
-        materialize = __import__("os").environ.get(
-            "FDN_FOREIGN_MATERIALIZE", "device")
+        materialize = os.environ.get("FDN_FOREIGN_MATERIALIZE", "device")
     if (materialize == "host" and raw_recs is not None
             and not return_device):
         # Consumer-side materialization: the kernel did the parallel symbol
@@ -779,7 +785,7 @@ def _xla_lane_decode(data: bytes, lanes, max_steps: int):
 # VMEM working set (wwin * 4 KiB per lane-block); blocks bigger than one
 # window freeze at the edge and resume from a re-staged window.  Tunable for
 # hardware sweeps (smaller windows allow R-way lane-block interleaving).
-_WWIN_CAP = int(__import__("os").environ.get("FDN_FOREIGN_WWIN", "6144"))
+_WWIN_CAP = int(os.environ.get("FDN_FOREIGN_WWIN", "6144"))
 
 
 @functools.lru_cache(maxsize=16)
