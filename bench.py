@@ -324,7 +324,7 @@ def _foreign_worker(raw_mb: int, q) -> None:
 
 def run_foreign_guarded(
     raw_mb: int = int(os.environ.get("FDN_BENCH_FOREIGN_MB", "8")),
-    timeout_s: float = float(os.environ.get("FDN_BENCH_TIMEOUT", "600")),
+    timeout_s: float = float(os.environ.get("FDN_BENCH_TIMEOUT", "900")),
 ):
     """Foreign (standard zlib-6, un-indexed, multi-block) stream decode via
     the block-parallel Pallas path, vs host zlib.  Detail metric only."""
