@@ -812,13 +812,18 @@ def _jit_seq_pallas(LB: int, B: int, wwin: int, K: int):
     return run
 
 
-def _seq_pallas_launch(states, active_np, words, max_steps: int):
+def _seq_pallas_launch(states, active_np, words, max_steps: int,
+                       dev_cache: dict | None = None):
     """One pallas-engine decode launch over the current blocks of all
     active streams.  Returns (records, bpos, status, produced) in the
     decode_symbols convention, with status ``-1`` marking streams whose
     launch hit a kernel anomaly (window overrun, invalid code, bad
     distance, truncation) and must be re-decoded exactly via the XLA
     engine.
+
+    ``dev_cache`` keeps the blocked meta/table device arrays across
+    launches: a block resumed from a window stall re-uses them instead of
+    re-staging ~1 MB over the host link per launch.
     """
     import jax.numpy as jnp
 
@@ -838,8 +843,6 @@ def _seq_pallas_launch(states, active_np, words, max_steps: int):
 
     start_w = np.zeros(B, np.int32)
     pos0 = np.zeros(nlanes, np.int32)
-    metas = np.zeros((nlanes, 64), np.int32)
-    tabs = np.zeros((nlanes, _TPAIRS), np.int32)
     for i, st in enumerate(states):
         if not active_np[i]:
             continue
@@ -851,18 +854,38 @@ def _seq_pallas_launch(states, active_np, words, max_steps: int):
             else:
                 lengths, hlit = st.lengths
                 st.meta_tab = foreign_meta(lengths[:hlit], lengths[288:320])
-        metas[i], tabs[i] = st.meta_tab
+            st.table_epoch += 1
 
     def blocked(a):  # [nlanes, rows] -> [LB, rows, 8, 128]
         return np.ascontiguousarray(
             a.reshape(LB, 8, 128, -1).transpose(0, 3, 1, 2))
 
+    # Keyed on monotonic per-stream table epochs (not object ids, which
+    # CPython can reuse after GC): a launch resumed from a window stall in
+    # the same blocks reuses the staged device tables.
+    table_key = tuple(
+        st.table_epoch if active_np[i] else -1
+        for i, st in enumerate(states))
+    if dev_cache is not None and dev_cache.get("key") == table_key:
+        meta_d = dev_cache["meta"]
+        tab_d = dev_cache["tab"]
+    else:
+        metas = np.zeros((nlanes, 64), np.int32)
+        tabs = np.zeros((nlanes, _TPAIRS), np.int32)
+        for i, st in enumerate(states):
+            if active_np[i]:
+                metas[i], tabs[i] = st.meta_tab
+        meta_d = jnp.asarray(blocked(metas))
+        tab_d = jnp.asarray(blocked(tabs))
+        if dev_cache is not None:
+            dev_cache.update(key=table_key, meta=meta_d, tab=tab_d)
+
     records, bpos, done, bad, produced = _jit_seq_pallas(LB, B, wwin, K)(
         words,
         jnp.asarray(start_w),
         jnp.asarray(blocked(pos0.reshape(nlanes, 1))[:, 0]),
-        jnp.asarray(blocked(metas)),
-        jnp.asarray(blocked(tabs)),
+        meta_d,
+        tab_d,
         jnp.asarray(np.array([len(st.out) for st in states], np.int32)),
         jnp.asarray(active_np),
     )
@@ -907,6 +930,7 @@ class _StreamState:
     __slots__ = (
         "data", "bitpos", "out", "window", "done", "error", "last_block",
         "tables", "in_block", "lengths", "meta_tab", "needs_xla",
+        "table_epoch",
     )
 
     def __init__(self, data: bytes):
@@ -922,6 +946,7 @@ class _StreamState:
         self.lengths = None      # ("fixed" | (lengths, hlit)) of current block
         self.meta_tab = None     # cached foreign_meta of current block
         self.needs_xla = False   # pallas engine hit an anomaly; redo exactly
+        self.table_epoch = 0     # bumps when meta_tab is (re)computed
 
 
 def _advance_headers(st: _StreamState) -> None:
@@ -1109,6 +1134,15 @@ def _decompress_batch_sequential(
     if out_capacity is None:
         # A record step produces <= 258 bytes; bound per launch.
         out_capacity = max_steps * 4  # tuned: raise for backref-heavy data
+    seq_dev_cache: dict = {}
+    # Device-resident window state for the pallas engine.  On pure
+    # stall-resume launches (no stream crossed a block boundary) the
+    # 32 KiB/stream window never needs the host: materialize's new_window
+    # feeds the next launch directly, skipping a B x 32 KiB round-trip
+    # over the host link each way.  Host copies go stale during such runs
+    # and are refreshed in full on the next boundary/anomaly launch.
+    win_dev = None  # device array, valid iff win_dev_fresh
+    win_dev_fresh = False
 
     decode = _jit_decode(max_steps)
 
@@ -1118,18 +1152,32 @@ def _decompress_batch_sequential(
         )
         if engine == "pallas":
             records, bpos_np, status_np, produced_np = _seq_pallas_launch(
-                states, active_np, words, max_steps
+                states, active_np, words, max_steps, dev_cache=seq_dev_cache
             )
             anomalous = status_np == -1
             produced_np = np.where(anomalous, 0, produced_np)
             cap = int(produced_np.max(initial=0))
             cap = max(256, 1 << int(np.ceil(np.log2(max(cap, 1)))))
-            window = jnp.asarray(np.stack([st.window for st in states]))
+            if win_dev_fresh:
+                window = win_dev
+            else:
+                window = jnp.asarray(np.stack([st.window for st in states]))
             out, new_window = _jit_materialize(cap)(
                 records, window, jnp.asarray(produced_np.astype(np.int32))
             )
             out_np = np.asarray(out)
-            new_window_np = np.asarray(new_window)
+            stall_only = not any(
+                active_np[i] and (anomalous[i] or status_np[i] == _EOB)
+                for i in range(B)
+            )
+            if stall_only:
+                # No stream needs host-side header parsing: leave windows
+                # on device and skip the round-trip entirely.
+                win_dev, win_dev_fresh = new_window, True
+                new_window_np = None
+            else:
+                new_window_np = np.asarray(new_window)
+                win_dev, win_dev_fresh = None, False
             for i, st in enumerate(states):
                 if not active_np[i]:
                     continue
@@ -1138,7 +1186,8 @@ def _decompress_batch_sequential(
                     st.done = True
                     continue
                 st.out += out_np[i, : produced_np[i]].tobytes()
-                st.window = new_window_np[i]
+                if new_window_np is not None:
+                    st.window = new_window_np[i]
                 st.bitpos = int(bpos_np[i])
                 if status_np[i] == _EOB:
                     st.in_block = False
