@@ -158,8 +158,10 @@ def bench_device(
             benc_times.append(time.perf_counter() - t0)
         t_enc_stage = min(benc_times)
 
+        _r = os.environ.get("FDN_BENCH_R")
         step = fused_ultrafast_roundtrip_v2(
-            chunks, N=N, U=int(os.environ.get("FDN_BENCH_U", "32"))
+            chunks, N=N, U=int(os.environ.get("FDN_BENCH_U", "32")),
+            R=int(_r) if _r else None,
         )
 
         @jax.jit

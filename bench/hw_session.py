@@ -298,8 +298,12 @@ def main():
     except Exception as e:  # noqa: BLE001
         print(f"[hw_session] batch_sweep FAIL {type(e).__name__}: "
               f"{str(e)[:300]}", flush=True)
-    sweep()
-    enc_sweep()
+    for stage in (sweep, enc_sweep):
+        try:
+            stage()
+        except Exception as e:  # noqa: BLE001
+            print(f"[hw_session] {stage.__name__} FAIL {type(e).__name__}: "
+                  f"{str(e)[:300]}", flush=True)
     import subprocess
     here = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(here)

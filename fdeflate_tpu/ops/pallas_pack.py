@@ -27,6 +27,7 @@ The reference's analogue is the sequential 64-bit BitWriter
 from __future__ import annotations
 
 import functools
+import os
 
 LANE = 128
 
@@ -103,8 +104,23 @@ def pack_blocked_pallas(tok, wwin: int, interpret: bool | None = None):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((LB, wwin, 8, LANE), jnp.int32),
         interpret=interpret,
+        compiler_params=_vmem_params(pltpu),
     )
     return f(tok)
+
+
+def _vmem_params(pltpu):
+    """Raise Mosaic's VMEM budget above the 16 MiB scoped default.
+
+    XLA's scoped-vmem pass can place a kernel's full result on the VMEM
+    stack (observed on v5e at the bench geometry: s32[8,840,8,128] =
+    22.56 MiB > the 16 MiB default -> compile-time OOM).  The kernel's
+    declared vmem_limit_bytes lifts that per-kernel cap; v5e has 128 MiB
+    of VMEM per core.  FDN_PACK_VMEM overrides for probes.
+    """
+    env = os.environ.get("FDN_PACK_VMEM", "")
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=int(env) if env else 100 * 1024 * 1024)
 
 
 def _kernel_v2(tok_ref, rel_ref, bounds_ref, out_ref, *, wwin: int):
@@ -228,6 +244,7 @@ def pack_blocked_pallas_v2(tok, relp, npair, wwin: int,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((LB, wwin, 8, LANE), jnp.int32),
         interpret=interpret,
+        compiler_params=_vmem_params(pltpu),
     )
     return f(tok, relp, bounds)
 

@@ -300,7 +300,8 @@ def decompress_batch_indexed(
     return results
 
 
-def fused_ultrafast_roundtrip_v2(C: int, N: int, U: int = 32):
+def fused_ultrafast_roundtrip_v2(C: int, N: int, U: int = 32,
+                                 R: int | None = None):
     """Round-2 fused pipeline: fixed-geometry encode -> canonical Pallas
     decode -> checksum verify, one XLA program, scalars-only readback.
 
@@ -326,7 +327,7 @@ def fused_ultrafast_roundtrip_v2(C: int, N: int, U: int = 32):
     def step(data, lengths):
         B = data.shape[0]
         win, chunk_bits, adler = encode_ultrafast_blocked(data, lengths, C)
-        out_sm, bpos = decode_blocked(win, T=T, U=U, lane_major=False)
+        out_sm, bpos = decode_blocked(win, T=T, U=U, lane_major=False, R=R)
         L = B * C
         bp = bpos.reshape(-1)[:L].reshape(B, C)
         # Exit positions are meaningful only for fully-covered chunks; a
