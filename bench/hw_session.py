@@ -58,7 +58,9 @@ def sweep():
     win = jax.block_until_ready(win)
     cb = np.asarray(chunk_bits)
 
-    for U, R in ((32, 1), (32, 4), (32, 8), (128, 8)):
+    cfgs = [tuple(int(v) for v in c.split(":")) for c in os.environ.get(
+        "HW_SWEEP", "32:1,32:4,32:8,128:8").split(",")]
+    for U, R in cfgs:
         @jax.jit
         def dec(w, U=U, R=R):
             out_sm, bpos = decode_blocked(w, T=S // 4, U=U,
@@ -288,17 +290,15 @@ def main():
         print("[hw_session] gave up waiting for TPU", flush=True)
         return
     print("[hw_session] TPU is up", flush=True)
-    try:
-        foreign_sweep()
-    except Exception as e:  # noqa: BLE001
-        print(f"[hw_session] foreign_sweep FAIL {type(e).__name__}: "
-              f"{str(e)[:300]}", flush=True)
-    try:
-        batch_sweep()
-    except Exception as e:  # noqa: BLE001
-        print(f"[hw_session] batch_sweep FAIL {type(e).__name__}: "
-              f"{str(e)[:300]}", flush=True)
-    for stage in (sweep, enc_sweep):
+    # HW_STAGES selects in-process stages by name (comma list); default all.
+    # Lets a re-run after a mid-session failure skip already-measured stages.
+    stages = {s for s in os.environ.get(
+        "HW_STAGES",
+        "foreign_sweep,batch_sweep,sweep,enc_sweep,"
+        "probe_foreign,probe_ablate,probe_vpu,bench").split(",")}
+    for stage in (foreign_sweep, batch_sweep, sweep, enc_sweep):
+        if stage.__name__ not in stages:
+            continue
         try:
             stage()
         except Exception as e:  # noqa: BLE001
@@ -312,10 +312,12 @@ def main():
                            os.path.join(here, "probe_foreign.py")], 1800),
         ("probe_ablate", [sys.executable, os.path.join(here, "probe_ablate.py"),
                           "full", "static", "fixedbounds", "noscan", "twosub"], 1800),
-        ("probe_vpu bcast", [sys.executable, os.path.join(here, "probe_vpu.py"),
-                             "bcast"], 900),
-        ("bench.py", [sys.executable, os.path.join(root, "bench.py")], 1800),
+        ("probe_vpu", [sys.executable, os.path.join(here, "probe_vpu.py"),
+                       "bcast"], 900),
+        ("bench", [sys.executable, os.path.join(root, "bench.py")], 1800),
     ):
+        if desc not in stages:
+            continue
         print(f"[hw_session] === {desc} ===", flush=True)
         try:
             r = subprocess.run(args, capture_output=True, text=True,

@@ -681,6 +681,12 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         ],
         scratch_shapes=[scratch],
         interpret=interpret,
+        # R>1 carries R full chunk windows per grid cell (R=8 at S=2048 is a
+        # ~27 MiB VMEM working set); without a declared budget XLA's 16 MiB
+        # scoped-VMEM default rejects the compile (same failure first seen on
+        # the pack kernel — see pallas_pack._vmem_params).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )
     out, bpos = f(*args)
     return out, bpos
