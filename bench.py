@@ -158,10 +158,12 @@ def bench_device(
             benc_times.append(time.perf_counter() - t0)
         t_enc_stage = min(benc_times)
 
-        _r = os.environ.get("FDN_BENCH_R")
+        # R=4 won the hardware U:R sweep (0.615 GB/s vs 0.547 at R=1 and
+        # 0.562 at R=8, 16 MiB IDAT, v5e) once the kernel declared its VMEM
+        # budget; LB=8 at the default geometry so R=4 divides evenly.
         step = fused_ultrafast_roundtrip_v2(
             chunks, N=N, U=int(os.environ.get("FDN_BENCH_U", "32")),
-            R=int(_r) if _r else None,
+            R=int(os.environ.get("FDN_BENCH_R", "4")),
         )
 
         @jax.jit
