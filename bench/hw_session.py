@@ -292,10 +292,13 @@ def main():
     print("[hw_session] TPU is up", flush=True)
     # HW_STAGES selects in-process stages by name (comma list); default all.
     # Lets a re-run after a mid-session failure skip already-measured stages.
-    stages = {s for s in os.environ.get(
-        "HW_STAGES",
-        "foreign_sweep,batch_sweep,sweep,enc_sweep,"
-        "probe_foreign,probe_ablate,probe_vpu,bench").split(",")}
+    known = {"foreign_sweep", "batch_sweep", "sweep", "enc_sweep",
+             "probe_foreign", "probe_ablate", "probe_vpu", "bench"}
+    stages = {s.strip() for s in os.environ.get(
+        "HW_STAGES", ",".join(sorted(known))).split(",")}
+    for s in stages - known:
+        print(f"[hw_session] unknown stage name {s!r} ignored "
+              f"(known: {sorted(known)})", flush=True)
     for stage in (foreign_sweep, batch_sweep, sweep, enc_sweep):
         if stage.__name__ not in stages:
             continue

@@ -9,10 +9,8 @@ N=1 MiB, C=512 -> LB=8, S=2048, wwin=840) died with
 i.e. XLA tried to place the custom call's FULL result (not the per-grid
 block) in scoped VMEM.  This probe times three candidate fixes:
 
-  a) as-is (expected OOM)
+  a) as-is, no compiler params (FDN_PACK_VMEM=none; expected OOM)
   b) pltpu.CompilerParams(vmem_limit_bytes=...)
-  c) donate/alias avoidance: jnp.copy barrier on the result so XLA cannot
-     fuse the consumer into vmem placement
 
 Run on hardware: python bench/probe_packoom.py
 """
@@ -41,9 +39,10 @@ def main():
     data = jnp.asarray(make_idat(B, N))
     lengths = jnp.full((B,), N, jnp.int32)
 
-    for mode in os.environ.get("PACK_MODES", "a,b").split(","):
+    for mode in (m.strip() for m in
+                 os.environ.get("PACK_MODES", "a,b").split(",")):
         os.environ["FDN_PACK_VMEM"] = (
-            "134217728" if mode == "b" else ""
+            "134217728" if mode == "b" else "none"
         )
         enc = jax.jit(lambda d, ln: encode_ultrafast_blocked(d, ln, C))
         try:

@@ -35,6 +35,7 @@ constants - see decode_dynamic_blocked below.
 from __future__ import annotations
 
 import functools
+import os
 
 import numpy as np
 
@@ -585,10 +586,10 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         win = jnp.pad(win, ((0, 0), (0, pad), (0, 0), (0, 0)))
         wwin += pad
 
+    blk_bytes = (wwin + U) * 8 * LANE * 4
     if not light:
         R = 1
     elif R is None:
-        blk_bytes = (wwin + U) * 8 * LANE * 4
         R = 1
         for cand in (2, 4, 8):
             if LB % cand == 0 and cand * blk_bytes <= 30 << 20:
@@ -684,9 +685,15 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         # R>1 carries R full chunk windows per grid cell (R=8 at S=2048 is a
         # ~27 MiB VMEM working set); without a declared budget XLA's 16 MiB
         # scoped-VMEM default rejects the compile (same failure first seen on
-        # the pack kernel — see pallas_pack._vmem_params).
+        # the pack kernel — see pallas_pack._vmem_params).  The budget is
+        # sized from the actual R-dependent working set (the same blk_bytes
+        # estimate that auto-selects R) plus the ~1.1 MiB broadcast tables
+        # and 2x slack for Mosaic spills; FDN_DEC_VMEM overrides for probes.
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+            vmem_limit_bytes=int(os.environ.get(
+                "FDN_DEC_VMEM",
+                min(120 << 20, max(32 << 20, 2 * R * blk_bytes + (4 << 20))),
+            ))),
     )
     out, bpos = f(*args)
     return out, bpos

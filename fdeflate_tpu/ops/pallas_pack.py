@@ -116,9 +116,13 @@ def _vmem_params(pltpu):
     stack (observed on v5e at the bench geometry: s32[8,840,8,128] =
     22.56 MiB > the 16 MiB default -> compile-time OOM).  The kernel's
     declared vmem_limit_bytes lifts that per-kernel cap; v5e has 128 MiB
-    of VMEM per core.  FDN_PACK_VMEM overrides for probes.
+    of VMEM per core.  FDN_PACK_VMEM overrides for probes: a byte count,
+    or ``none`` to send no compiler params at all (reproduces the
+    unpatched compile-time OOM, bench/probe_packoom.py mode ``a``).
     """
     env = os.environ.get("FDN_PACK_VMEM", "")
+    if env == "none":
+        return None
     return pltpu.CompilerParams(
         vmem_limit_bytes=int(env) if env else 100 * 1024 * 1024)
 

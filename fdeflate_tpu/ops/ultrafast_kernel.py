@@ -239,7 +239,7 @@ def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0,
 
 def encode_ultrafast_batch(
     data, lengths, lut_matmul: bool | None = None, num_chunks: int = 0,
-    fixed_geometry: bool = False,
+    fixed_geometry: bool = False, return_eof: bool = False,
 ):
     """Encode ``B`` streams of padded length ``N``.
 
@@ -258,6 +258,10 @@ def encode_ultrafast_batch(
         output-byte boundaries so chunk k decodes EXACTLY N/C bytes starting
         at byte k*N/C (see _assign_tokens); required by the fixed-geometry
         Pallas decoder (ops/pallas_decode2.py).
+      return_eof: with ``num_chunks``, additionally return eof_pos i32[B] —
+        the bit position of the EOF token (== end of the last chunk's
+        payload; the repack->decode verification needs it because
+        total_bits includes the EOF token and byte padding).
 
     Returns:
       words:  uint32[B, W] — the complete zlib streams except the trailing
@@ -359,6 +363,8 @@ def encode_ultrafast_batch(
         sample = jnp.arange(num_chunks, dtype=i32) * step
         chunk_starts = suffix_min[:, sample]
         chunk_starts = chunk_starts.at[:, 0].set(STREAM_HEADER_BITS)
+        if return_eof:
+            return words, total_bits.astype(i32), adler, chunk_starts, eof_pos
         return words, total_bits.astype(i32), adler, chunk_starts
 
     return words, total_bits.astype(i32), adler

@@ -343,6 +343,91 @@ def fused_ultrafast_roundtrip_v2(C: int, N: int, U: int = 32,
     return step
 
 
+def zlib_encode_step(C: int):
+    """Headline encode leg: linear (framed, standard-zlib) words + index.
+
+    fn(data u8[B, N], lengths i32[B]) -> (words u32[B, W], total_bits i32[B],
+    adler u32[B], chunk_starts i32[B, C], eof_pos i32[B]).  ``words`` +
+    ``total_bits`` + ``adler`` assemble into byte streams any zlib inflater
+    accepts (ops/ultrafast_kernel.finalize_streams); the chunk index and
+    eof position are sidecar metadata for the chunk-parallel decode leg.
+    """
+    from ..ops.ultrafast_kernel import encode_ultrafast_batch
+
+    def step(data, lengths):
+        return encode_ultrafast_batch(
+            data, lengths, num_chunks=C, fixed_geometry=True, return_eof=True
+        )
+
+    return step
+
+
+def zlib_decode_step(C: int, N: int, wwin: int, U: int = 32,
+                     R: int | None = None):
+    """Decode leg over STANDARD zlib artifacts: repack -> v2 kernel -> verify.
+
+    The input is the linear framed stream exactly as the encode leg emits
+    it (and as ``zlib.decompress`` accepts it); per-lane windows are staged
+    by the DMA repack kernel (ops/repack) at the chunk index's bit offsets.
+    Equivalent decode capability bar: the reference's hot loop over the
+    ultra-fast stream (/root/reference/src/decompress.rs:611-830).
+
+    fn(words, chunk_starts, eof_pos, adler, lengths) ->
+      (out_sm i32[LB, T, 8, 128], bpos_ok bool[B], ck_ok bool[B]).
+    ``bpos_ok`` checks every full chunk's exit bit position against the
+    index (exact symbol-level agreement); ``ck_ok`` the decoded Adler-32
+    against the encoder's.
+    """
+    import jax.numpy as jnp
+
+    from ..ops.pallas_decode2 import adler_step_major, decode_blocked
+    from ..ops.repack import stage_blocked_from_linear
+
+    assert N % C == 0
+    S = N // C
+    T = S // 4
+
+    def step(words, chunk_starts, eof_pos, adler, lengths):
+        B = words.shape[0]
+        win = stage_blocked_from_linear(words, chunk_starts, C, wwin)
+        out_sm, bpos = decode_blocked(win, T=T, U=U, lane_major=False, R=R)
+        L = B * C
+        bp = bpos.reshape(-1)[:L].reshape(B, C)
+        expected = (
+            jnp.concatenate([chunk_starts[:, 1:], eof_pos[:, None]], axis=1)
+            - chunk_starts
+        )
+        offs = jnp.arange(C, dtype=jnp.int32)[None, :] * S
+        full = offs + S <= lengths.astype(jnp.int32)[:, None]
+        bpos_ok = jnp.all((bp == expected) | ~full, axis=1)
+        ck = adler_step_major(out_sm, B, C, S, lengths)
+        ck_ok = ck == adler
+        return out_sm, bpos_ok, ck_ok
+
+    return step
+
+
+def fused_zlib_roundtrip(C: int, N: int, wwin: int, U: int = 32,
+                         R: int | None = None):
+    """One-program roundtrip through a STANDARD zlib artifact.
+
+    encode (linear framed words) -> DMA repack -> v2 canonical decode ->
+    bpos + Adler verify; scalars-only readback.  Unlike
+    fused_ultrafast_roundtrip_v2, the byte stream between the two legs is
+    a valid zlib stream (the bench spot-checks it with zlib.decompress).
+    """
+
+    enc = zlib_encode_step(C)
+    dec = zlib_decode_step(C, N, wwin, U=U, R=R)
+
+    def step(data, lengths):
+        words, total_bits, adler, starts, eof = enc(data, lengths)
+        out_sm, bpos_ok, ck_ok = dec(words, starts, eof, adler, lengths)
+        return out_sm, bpos_ok, ck_ok
+
+    return step
+
+
 def fused_adaptive_roundtrip(C: int, N: int, U: int = 8):
     """Adaptive-tree fused pipeline: on-device tree build -> blocked encode
     -> canonical Pallas decode with runtime tables -> checksum verify.

@@ -89,6 +89,7 @@ class TestDecodeMeta:
 
 class TestAdaptiveRoundtrip:
     @pytest.mark.parametrize("kind", ["mixed", "skewed"])
+    @pytest.mark.slow  # 17-24s interpreted per corpus
     def test_roundtrip_interpret(self, kind):
         from fdeflate_tpu.ops.pallas_decode2 import decode_blocked
 

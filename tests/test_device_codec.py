@@ -134,6 +134,7 @@ class TestSharded:
         for i in range(B):
             assert zlib.decompress(outs[i]) == data[i].tobytes()
 
+    @pytest.mark.slow  # 87s; the mesh path also runs in __graft_entry__.dryrun_multichip
     def test_roundtrip_step_all_devices(self, rng):
         import __graft_entry__ as G
 
@@ -282,114 +283,6 @@ class TestDeviceCorpusDifferential:
             elif exp[0] == "err":
                 assert isinstance(got, E.DecompressionError), path.name
                 assert type(got).__name__ == exp[1], path.name
-
-
-class TestPallasDecodeKernel:
-    def test_matches_decode_symbols(self, rng):
-        """The Pallas ultrafast-decode kernel (interpret mode on CPU) must
-        produce records identical to the XLA decoder on real chunk lanes."""
-        import functools
-
-        import jax
-        import jax.numpy as jnp
-
-        from fdeflate_tpu.ops.pallas_decode import (
-            LANE,
-            decode_ultrafast_pallas,
-        )
-        from fdeflate_tpu.ops.inflate import decode_symbols
-        from fdeflate_tpu.parallel.device_pipeline import _trained_tables
-
-        datas = [
-            rng.choice([0, 0, 0, 9, 200], 4000).astype(np.uint8).tobytes()
-            for _ in range(8)
-        ]
-        streams, index = F.compress_batch_ultra_fast(datas, with_index=16)
-        wwin = 1 << int(
-            np.ceil(np.log2(max(len(s) for s in streams) // 4 + 4))
-        )
-        win = np.zeros((1, wwin, LANE), np.int32)
-        bstart = np.zeros((1, LANE), np.int32)
-        bstop = np.zeros((1, LANE), np.int32)
-        info = []
-        lane = 0
-        for si, s in enumerate(streams):
-            body = s[:-4]
-            words = np.frombuffer(
-                body + bytes((-len(body)) % 4) + bytes(8), "<u4"
-            )
-            for k in range(16):
-                start = int(index[si, k])
-                stop = (
-                    int(index[si, k + 1]) if k < 15 else len(body) * 8
-                )
-                bw = start >> 5
-                seg = words[bw : bw + wwin]
-                win[0, : len(seg), lane] = seg.view(np.int32)
-                bstart[0, lane] = start - bw * 32
-                bstop[0, lane] = stop - bw * 32
-                info.append((si, k, bw))
-                lane += 1
-
-        recs, (bp, st) = decode_ultrafast_pallas(
-            jnp.asarray(win), jnp.asarray(bstart), jnp.asarray(bstop),
-            max_steps=2048,
-        )
-
-        t = [jnp.asarray(x) for x in _trained_tables()]
-        Wmax = max(len(s) // 4 + 3 for s in streams)
-        words_g = np.zeros((len(streams), Wmax), np.uint32)
-        for i, s in enumerate(streams):
-            body = s[:-4]
-            p = body + bytes((-len(body)) % 4) + bytes(8)
-            words_g[i, : len(p) // 4] = np.frombuffer(p, "<u4")
-        starts_g = np.array([int(index[si, k]) for si, k, _ in info], np.int32)
-        ends_g = np.array(
-            [(len(streams[si]) - 4) * 8 for si, _, _ in info], np.int32
-        )
-        stops_g = np.array(
-            [
-                int(index[si, k + 1]) if k < 15 else int(e)
-                for (si, k, _), e in zip(info, ends_g)
-            ],
-            np.int32,
-        )
-        srow = np.array([si for si, _, _ in info], np.int32)
-        dec = jax.jit(
-            functools.partial(decode_symbols, max_steps=2048, chain=1)
-        )
-        recs2, (bp2, op2, st2) = dec(
-            jnp.asarray(words_g), jnp.asarray(starts_g), jnp.asarray(ends_g),
-            jnp.full(LANE, 1 << 30, jnp.int32),
-            jnp.asarray(starts_g < stops_g), jnp.zeros(LANE, jnp.int32),
-            t[0], t[1], t[2], t[3],
-            bit_stop=jnp.asarray(stops_g),
-            stream_row=jnp.asarray(srow), litlen_first=t[4],
-        )
-        assert np.array_equal(
-            np.asarray(recs[0]).astype(np.uint32), np.asarray(recs2[0])[:2048]
-        )
-        assert np.array_equal(
-            np.asarray(recs[1]), np.asarray(recs2[2])[:2048].astype(np.int32)
-        )
-        assert np.array_equal(np.asarray(recs[2]), np.asarray(recs2[3])[:2048])
-        assert np.array_equal(np.asarray(recs[3]), np.asarray(recs2[4])[:2048])
-        bp_abs = np.asarray(bp) + np.array([bw * 32 for _, _, bw in info])
-        assert np.array_equal(bp_abs, np.asarray(bp2))
-
-    def test_pallas_end_to_end_batch(self, rng):
-        from fdeflate_tpu.ops.pallas_decode import decompress_batch_pallas
-
-        datas = [
-            rng.choice([0, 0, 0, 9, 200], 5000).astype(np.uint8).tobytes(),
-            bytes(20000),
-            rng.integers(0, 256, 3000, dtype=np.uint8).tobytes(),
-            b"xy",
-        ]
-        streams, index = F.compress_batch_ultra_fast(datas, with_index=16)
-        back = decompress_batch_pallas(streams, index)
-        for r, e in zip(back, datas):
-            assert r == e
 
 
 class TestSortedScatterPromise:

@@ -50,6 +50,7 @@ class TestForeignDecode:
         comp = zlib.compress(corpus, level)
         assert decompress_foreign(comp) == corpus
 
+    @pytest.mark.slow
     def test_own_compressor_streams(self, corpus):
         for level in (1, 6):
             comp = F.compress_to_vec_with_level(corpus[:100000], level)

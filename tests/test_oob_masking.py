@@ -139,6 +139,7 @@ class TestChecksumMasking:
 
 
 class TestDecodeMasking:
+    @pytest.mark.slow  # 85s interpreted
     def test_decode_blocked_ignores_bits_past_chunk_end(self):
         """Garbage bits AFTER each chunk's payload (where the encoder never
         wrote) must not change any decoded byte or exit position."""

@@ -112,6 +112,7 @@ class TestFixedGeometryEncode:
             assert (out == data[0, c * S : (c + 1) * S]).all()
 
 
+@pytest.mark.slow  # 72-356s interpreted; fast-tier kernel coverage: tests/test_repack.py
 class TestKernelInterpret:
     @pytest.mark.parametrize("U", [16, 32])
     def test_roundtrip(self, U):
@@ -216,6 +217,7 @@ class TestMatchscan:
         # in aggregate the device encoder must not lose to host L1
         assert total_dev <= total_host
 
+    @pytest.mark.slow
     def test_empty_and_tiny(self):
         from fdeflate_tpu.ops.matchscan import compress_batch_matched
 

@@ -23,6 +23,8 @@ import fdeflate_tpu as F
 from fdeflate_tpu.ops import inflate as I
 from fdeflate_tpu.ops import pallas_inflate as PI
 
+pytestmark = pytest.mark.slow  # interpret-mode record-kernel runs: 34-89s each (see pytest.ini)
+
 
 def first_block_lane(z: bytes):
     """(words, sym_start_bit, meta, tab, bfinal) of a dynamic first block."""
