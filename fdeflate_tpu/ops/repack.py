@@ -3,13 +3,13 @@
 Round-2's fast decode path (ops/pallas_decode2) consumed a proprietary
 lane-blocked window layout that only the blocked encoder emitted — the
 benchmarked roundtrip never produced bytes ``zlib.decompress`` could read
-(VERDICT round 2, item 1).  This kernel closes that gap: it stages the v2
+(VERDICT round 2, item 1).  This module closes that gap: it stages the v2
 kernel's per-lane bit windows **straight from the linear, framed, valid-zlib
 stream words** at the exact symbol-boundary bit offsets the encoder's chunk
 index records.  The chain
 
     encode_ultrafast_batch (linear zlib words + chunk index)
-      -> stage_blocked_from_linear (this kernel)
+      -> stage_blocked_from_linear (this module)
       -> decode_blocked (ops/pallas_decode2)
 
 is the standard-artifact equivalent of the reference's
@@ -18,23 +18,30 @@ compress_to_vec_ultra_fast -> decompress_to_vec roundtrip
 /root/reference/src/decompress.rs:611-830): every intermediate byte stream
 is a zlib stream any decoder accepts; the chunk index is sidecar metadata.
 
-Design (TPU): per-lane windows live at arbitrary *bit* offsets of the
-stream, so staging needs per-lane dynamic reads — the one access pattern
-Mosaic's vector unit cannot do (lane-indexed VMEM gathers do not lower;
-PERF_NOTES.md round-1 probes).  The DMA engines, however, take arbitrary
-element offsets natively.  So the kernel:
+Design (TPU, two passes — hardware constraints measured by
+bench/probe_dma.py):
 
-1. issues one async copy per lane — ``words[row_i, w0_i : w0_i + wl]`` ->
-   a VMEM row — where ``w0_i = chunk_start_i >> 5`` comes from SMEM
-   (scalar loads with dynamic index are free);
-2. bit-aligns each row with a per-lane variable shift (lane-variable
-   shifts are ~free on the VPU: bench/probe_vpu.py varshift calibration);
-3. corner-turns rows into the decode kernel's word-major layout
-   ``win[LB, wwin, 8, 128]`` with in-VMEM 128-slab transposes (same
-   relayout Mosaic already compiles for ops/pallas_decode2.corner_turn).
+1. **Slab fetch (Pallas DMA).**  Per-lane windows live at arbitrary *bit*
+   offsets, i.e. per-lane dynamic reads — the one access pattern Mosaic's
+   vector unit cannot do (lane-indexed VMEM gathers do not lower;
+   PERF_NOTES.md round-1 probes).  The DMA engines can, but Mosaic bounds
+   them: 1-D memrefs are tiled (1024,), so a DMA slice's shape must be a
+   multiple of 1024 words and its offset *provably* divisible by 1024
+   ("Failed to prove that a tile index ... is divisible by the tiling").
+   The kernel therefore fetches, for every lane, an aligned **slab** of
+   ``wl`` words starting at ``(flat_word_offset >> 10) << 10`` — the
+   divisibility is provable because the offset is written as
+   ``blk_ref[i] * 1024``.  Slabs land in a flat HBM rows buffer.
 
-The XLA fallback (gather + shift, `_stage_xla`) is the bit-exact oracle
-and the interpret-mode path for tests.
+2. **Align + corner turn (XLA).**  The lane's window starts at word
+   ``woff = flat_word_offset & 1023`` inside its slab.  A log-shift pass
+   (10 conditional row-shifts by 512..1) moves it to word 0 — streaming,
+   bandwidth-bound, no gathers — then one elementwise pass applies the
+   sub-word bit shift, and a reshape+transpose produces the kernel's
+   word-major ``win[LB, wwin, 8, 128]``.
+
+The XLA fallback (`_stage_xla`, gather + shift) is the bit-exact oracle and
+the interpret-mode path for tests.
 """
 
 from __future__ import annotations
@@ -44,6 +51,7 @@ import functools
 import numpy as np
 
 LANE = 128
+SLAB = 1024  # Mosaic 1-D memref tiling: DMA offsets/shapes are slab-granular
 
 
 def stage_wwin(S: int, cap_bits_per_byte: float | None = None) -> int:
@@ -115,33 +123,23 @@ def _stage_xla(words, chunk_starts, C: int, wwin: int):
     return rows.reshape(LB, 8, LANE, wwin).transpose(0, 3, 1, 2)
 
 
-def _kernel(row_ref, cs_ref, shv_ref, words_ref, out_ref, rows, sem, *,
-            wwin: int, wl: int, dma_depth: int):
-    """Stage one lane-block: 1024 DMAs -> per-lane shift -> corner turn.
+def _slab_kernel(blk_ref, src_ref, out_ref, sem, *, lanes: int, wl: int,
+                 dma_depth: int):
+    """One aligned slab DMA per lane: src[blk[i]*1024 : +wl] -> out[i*wl:].
 
-    row_ref/cs_ref: SMEM i32[1, 1, 1024] — stream row / chunk start bit per
-      lane (lane i of this block = (i // 128, i % 128) in the (8, 128)
-      grid; the middle singleton satisfies Mosaic's block-shape rule).
-    shv_ref: VMEM i32[1, 8, 128] — chunk_start & 31, pre-broadcast per lane
-      (a scalar operand here would re-broadcast per use: the round-2
-      kernel's 170-vector.broadcast lesson, ops/pallas_decode2._kernel_light).
-    words_ref: ANY (HBM) i32[B, Wpad] — the linear zlib streams; Wpad has
-      >= wl words of zero slack so every DMA is in bounds.
-    rows: VMEM scratch i32[8, 128, wl] — lane-major landing pad.
+    blk_ref: SMEM i32[lanes] — flat SLAB index per lane (provably aligned
+    offsets come from the ``* SLAB`` below).  src/out are flat HBM buffers;
+    ``wl`` is a multiple of SLAB so destination offsets are aligned too.
+    ``dma_depth`` semaphore slots pipeline the copies.
     """
     import jax
-    import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    u32 = jnp.uint32
-
     def copy_for(i, slot):
-        b = row_ref[0, 0, i]
-        w0 = cs_ref[0, 0, i] >> 5
         return pltpu.make_async_copy(
-            words_ref.at[b, pl.ds(w0, wl)],
-            rows.at[i // LANE, jax.lax.rem(i, LANE)],
+            src_ref.at[pl.ds(blk_ref[i] * SLAB, wl)],
+            out_ref.at[pl.ds(i * wl, wl)],
             sem.at[slot],
         )
 
@@ -155,25 +153,43 @@ def _kernel(row_ref, cs_ref, shv_ref, words_ref, out_ref, rows, sem, *,
         copy_for(i, slot).start()
         return 0
 
-    jax.lax.fori_loop(0, 8 * LANE, body, 0)
-    for i in range(8 * LANE - dma_depth, 8 * LANE):
+    jax.lax.fori_loop(0, lanes, body, 0)
+    for k in range(dma_depth):
         # Drain the last dma_depth copies (each slot exactly once).
+        i = lanes - dma_depth + k
         copy_for(i, i % dma_depth).wait()
 
-    sh = shv_ref[0][:, :, None]                       # [8, 128, 1]
-    inv = ((32 - sh) & 31).astype(u32)
-    for js in range(wwin // LANE):
-        g = rows[:, :, js * LANE : (js + 1) * LANE].astype(u32)
-        gn = rows[:, :, js * LANE + 1 : (js + 1) * LANE + 1].astype(u32)
-        sw = (g >> sh.astype(u32)) | jnp.where(sh == 0, u32(0), gn << inv)
-        out_ref[0, js * LANE : (js + 1) * LANE] = jnp.transpose(
-            sw.astype(jnp.int32), (2, 0, 1)
-        )
+
+def fetch_slabs(src_flat, blk, wl: int, dma_depth: int = 32):
+    """Pallas pass 1: per-lane aligned slab DMA into flat HBM rows.
+
+    src_flat: i32[Wflat]; blk: i32[L] slab indices (flat word offset >> 10).
+    Returns rows i32[L * wl]; caller guarantees blk*SLAB + wl <= Wflat.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    (lanes,) = blk.shape
+    assert wl % SLAB == 0
+    f = pl.pallas_call(
+        functools.partial(_slab_kernel, lanes=lanes, wl=wl,
+                          dma_depth=dma_depth),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_shape=jax.ShapeDtypeStruct((lanes * wl,), jnp.int32),
+        scratch_shapes=[pltpu.SemaphoreType.DMA((dma_depth,))],
+    )
+    return f(blk, src_flat)
 
 
 def stage_blocked_from_linear(words, chunk_starts, C: int, wwin: int,
                               interpret: bool | None = None,
-                              dma_depth: int = 16):
+                              dma_depth: int = 32):
     """Stage per-lane decode windows from linear zlib stream words.
 
     Args:
@@ -192,8 +208,6 @@ def stage_blocked_from_linear(words, chunk_starts, C: int, wwin: int,
     """
     import jax
     import jax.numpy as jnp
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -204,14 +218,19 @@ def stage_blocked_from_linear(words, chunk_starts, C: int, wwin: int,
         return _stage_xla(words, chunk_starts, C, wwin)
 
     i32 = jnp.int32
+    u32 = jnp.uint32
     B, W = words.shape
     L = B * C
     LB = -(-L // 1024)
-    wl = wwin + 8  # one spare word for the shift's high half + DMA comfort
-
-    wpad = jnp.pad(
-        words.astype(jnp.uint32), ((0, 0), (0, wl + 2))
-    ).astype(i32)
+    # Slab length: window words + worst-case in-slab offset (SLAB-1) + one
+    # spare word for the bit shift's high half, rounded up to slabs.
+    wl = (wwin + 2 * SLAB) // SLAB * SLAB  # >= wwin + (SLAB-1) + 1
+    # Pad each stream row to slab multiple, plus wl slack so every slab
+    # fetch is in bounds; flatten so per-lane offsets are single integers.
+    Wpad = (W + SLAB - 1) // SLAB * SLAB
+    wpad = jnp.pad(words.astype(i32), ((0, 0), (0, Wpad - W)))
+    flat = jnp.concatenate(
+        [wpad.reshape(-1), jnp.zeros((wl,), i32)])
 
     cs = chunk_starts.astype(i32).reshape(-1)
     pad = LB * 1024 - L
@@ -220,30 +239,27 @@ def stage_blocked_from_linear(words, chunk_starts, C: int, wwin: int,
     rows_of = jnp.repeat(jnp.arange(B, dtype=i32), C)
     if pad:
         rows_of = jnp.concatenate([rows_of, jnp.zeros((pad,), i32)])
-    cs = cs.reshape(LB, 1, 1024)
-    rows_of = rows_of.reshape(LB, 1, 1024)
-    shv = (cs & 31).reshape(LB, 8, LANE)
+    Lp = LB * 1024
 
-    f = pl.pallas_call(
-        functools.partial(_kernel, wwin=wwin, wl=wl, dma_depth=dma_depth),
-        grid=(LB,),
-        in_specs=[
-            pl.BlockSpec((1, 1, 1024), lambda lb: (lb, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, 1024), lambda lb: (lb, 0, 0),
-                         memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 8, LANE), lambda lb: (lb, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, wwin, 8, LANE), lambda lb: (lb, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((LB, wwin, 8, LANE), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((8, LANE, wl), jnp.int32),
-            pltpu.SemaphoreType.DMA((dma_depth,)),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
+    wordoff = rows_of * Wpad + (cs >> 5)   # flat word offset per lane
+    blk = wordoff >> 10                    # slab index (provably aligned)
+    woff = wordoff & (SLAB - 1)            # window start word inside slab
+    sh = (cs & 31).astype(u32)             # sub-word bit shift
+
+    rows = fetch_slabs(flat, blk, wl, dma_depth).reshape(Lp, wl)
+
+    # Log-shift the window to word 0 of each row: 10 conditional row
+    # shifts by 512..1 words — pure streaming selects, no gathers.
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        shifted = jnp.concatenate(
+            [rows[:, k:], jnp.zeros((Lp, k), i32)], axis=1)
+        rows = jnp.where((woff & k)[:, None] != 0, shifted, rows)
+
+    lo = rows[:, :wwin].astype(u32) >> sh[:, None]
+    hi = jnp.where(
+        sh[:, None] == 0,
+        u32(0),
+        rows[:, 1 : wwin + 1].astype(u32) << ((32 - sh[:, None]) & 31),
     )
-    return f(rows_of, cs, shv, wpad)
+    out = (lo | hi).astype(i32)
+    return out.reshape(LB, 8, LANE, wwin).transpose(0, 3, 1, 2)

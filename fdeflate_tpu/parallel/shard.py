@@ -213,3 +213,128 @@ def roundtrip_step_v2(mesh, chunks: int = 8, U: int | None = None):
         check_rep=False,
     )
     return jax.jit(mapped)
+
+
+def roundtrip_step_zlib(mesh, chunks: int = 8, U: int | None = None):
+    """Sharded codec step over a STANDARD ZLIB artifact (round-3 headline
+    pipeline): linear framed encode -> ops/repack window staging -> v2
+    canonical decode -> on-device bpos + Adler verify, data-parallel over
+    ``streams`` with psum/pmean verification collectives.
+
+    fn(data u8[B, N]) -> (bpos_ok bool[B], ck_ok bool[B], total i32):
+    ``total`` is the mesh-wide count of verified bytes.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.repack import stage_wwin
+    from .device_pipeline import fused_zlib_roundtrip
+
+    def local(data_slice):
+        Bs, N = data_slice.shape
+        S = N // chunks
+        u = U if U is not None else (32 if (S // 4) % 32 == 0 else S // 4)
+        step = fused_zlib_roundtrip(chunks, N, wwin=stage_wwin(S), U=u)
+        lengths = jnp.full((Bs,), N, jnp.int32)
+        _out_sm, bpos_ok, ck_ok = step(data_slice, lengths)
+        verified = bpos_ok & ck_ok
+        total = jax.lax.pmean(
+            jax.lax.psum(
+                jnp.sum(jnp.where(verified, jnp.int32(N), 0)), "streams"
+            ),
+            "seq",
+        )
+        return bpos_ok, ck_ok, total
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P("streams", None),
+        out_specs=(P("streams"), P("streams"), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def roundtrip_step_adaptive(mesh, chunks: int = 4, U: int = 8):
+    """Sharded adaptive-tree codec step: on-device per-batch Huffman tree
+    build -> blocked encode -> canonical decode with runtime tables ->
+    verify, data-parallel over ``streams`` (each shard trains a tree on its
+    own slice — the reference's per-block dynamic-table capability,
+    src/compress/bitstream.rs:198-325, under the mesh).
+
+    fn(data u8[B, N]) -> (bpos_ok bool[B], ck_ok bool[B], total i32).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .device_pipeline import fused_adaptive_roundtrip
+
+    def local(data_slice):
+        Bs, N = data_slice.shape
+        step = fused_adaptive_roundtrip(chunks, N, U=U)
+        lengths = jnp.full((Bs,), N, jnp.int32)
+        _out_sm, bpos_ok, ck_ok, _bits = step(data_slice, lengths)
+        verified = bpos_ok & ck_ok
+        total = jax.lax.pmean(
+            jax.lax.psum(
+                jnp.sum(jnp.where(verified, jnp.int32(N), 0)), "streams"
+            ),
+            "seq",
+        )
+        return bpos_ok, ck_ok, total
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P("streams", None),
+        out_specs=(P("streams"), P("streams"), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
+
+
+def foreign_records_step(mesh, K: int = 48, U: int = 16):
+    """Sharded FOREIGN (arbitrary deflate block) record decode: the
+    pallas_inflate record kernel with per-lane runtime trees, lane-blocks
+    data-parallel over ``streams``.  Inputs are pre-staged blocked arrays
+    (windows, initial bit offsets, canonical metadata, symbol tables — see
+    parallel/discovery._pallas_lane_decode for the staging recipe).
+
+    fn(win i32[LB, wwin, 8, 128], pos0 i32[LB, 8, 128],
+       meta i32[LB, 64, 8, 128], tab i32[LB, TPAIRS, 8, 128]) ->
+      (bpos i32[LB, 8, 128], done i32[LB, 8, 128], eob_total i32):
+    ``eob_total`` is the mesh-wide count of lanes that reached EOB.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from ..ops.pallas_inflate import decode_records_blocked
+
+    def local(win, pos0, meta, tab):
+        _recs, bpos, done = decode_records_blocked(
+            win, pos0, meta, tab, K=K, U=U
+        )
+        eob = jnp.sum((done == 1).astype(jnp.int32))
+        total = jax.lax.pmean(jax.lax.psum(eob, "streams"), "seq")
+        return bpos, done, total
+
+    mapped = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P("streams", None, None, None),
+            P("streams", None, None),
+            P("streams", None, None, None),
+            P("streams", None, None, None),
+        ),
+        out_specs=(P("streams", None, None), P("streams", None, None), P()),
+        check_rep=False,
+    )
+    return jax.jit(mapped)
