@@ -90,7 +90,7 @@ def bench_zlib_baseline(data: np.ndarray, repeats: int = 2) -> tuple[float, floa
 
 def bench_device(
     data: np.ndarray, repeats: int = 3
-) -> tuple[float, float, float, bool]:
+) -> tuple[float, float, float, bool, dict]:
     """Device codec GB/s over a STANDARD ZLIB artifact, both legs measured
     directly (VERDICT round 2, items 1 and 4).
 
