@@ -183,13 +183,23 @@ def bench_device(
     # --- headline encode: linear standard-zlib words + chunk index -------
     enc = zlib_encode_step(chunks)
 
+    def fold(x):
+        # Strided-sample reduction: cheap to compute, but forces the FULL
+        # producing op (a sampled read of a scatter output cannot be
+        # computed without running the scatter).  Folding ONLY scalars
+        # (bits/adler) lets XLA dead-code-eliminate the word-packing
+        # scatter entirely — the round-3 bench's encode numbers were
+        # inflated ~5x until this was caught (bench/probe_encmarg.py).
+        x = x.astype(jnp.int32).reshape(-1)
+        return jnp.sum(x[::997])
+
     def enc_reps(r):
         @jax.jit
         def g(d, lengths):
             def body(k, acc):
                 d2 = d.at[0, 0].add((acc & 1).astype(d.dtype))
                 w, bits, adler, starts, eof = enc(d2, lengths)
-                return acc + jnp.sum(bits) + jnp.sum(
+                return acc + fold(w) + jnp.sum(bits) + jnp.sum(
                     adler.astype(jnp.int32)) + jnp.sum(starts[:, -1])
 
             return jax.lax.fori_loop(0, r, body, jnp.int32(0))
@@ -243,7 +253,7 @@ def bench_device(
                 d2 = d.at[0, 0].add((acc & 1).astype(d.dtype))
                 win, bits, adler = encode_ultrafast_blocked(
                     d2, lengths, chunks)
-                return acc + jnp.sum(bits) + jnp.sum(
+                return acc + fold(win) + jnp.sum(bits) + jnp.sum(
                     adler.astype(jnp.int32))
 
             return jax.lax.fori_loop(0, r, body, jnp.int32(0))

@@ -136,12 +136,24 @@ def main():
     def leg_adler(d2, ln):
         return fold(UK.adler32_batch(d2, ln))
 
+    def leg_blocked_kernel(d2, ln):
+        win, bits, adler = UK.encode_ultrafast_blocked(
+            d2, ln, C, kernel_pack=True)
+        return fold(win) + jnp.sum(bits) + jnp.sum(adler.astype(i32))
+
+    def leg_blocked_xla(d2, ln):
+        win, bits, adler = UK.encode_ultrafast_blocked(
+            d2, ln, C, kernel_pack=False)
+        return fold(win) + jnp.sum(bits) + jnp.sum(adler.astype(i32))
+
     marg("assign_tokens        ", leg_assign)
     marg("+cumsum              ", leg_cumsum)
     marg("+pair+scatter        ", leg_scatter)
     marg("adler alone          ", leg_adler)
     marg("full (no index)      ", leg_noindex)
     marg("full (+chunk index)  ", leg_full)
+    marg("blocked kernel-pack  ", leg_blocked_kernel)
+    marg("blocked xla-pack     ", leg_blocked_xla)
 
 
 if __name__ == "__main__":
