@@ -187,6 +187,120 @@ def fetch_slabs(src_flat, blk, wl: int, dma_depth: int = 32):
     return f(blk, src_flat)
 
 
+def _combine_kernel(lo_ref, hi_ref, slab0_ref, rows_ref, out_ref, buf, sem,
+                    *, H: int):
+    """OR per-lane aligned row halves into one linear output slab.
+
+    Grid cell = one output slab ``s`` (1024 words).  Lanes contributing to
+    it are the contiguous range [lo[s], hi[s]) (lanes sorted by origin
+    slab); lane ``l`` contributes its half ``h = s - slab0[l]`` (its rows
+    are pre-aligned in XLA so half ``h`` holds exactly the bits that land
+    in slab ``slab0[l] + h``).  Halves are DMA'd from the flat HBM rows
+    buffer — offset ``(H*l + h) * SLAB`` is provably slab-aligned — and
+    OR'd; distinct chunks touch disjoint bits, shared boundary words OR
+    cleanly.  Double-buffered DMA hides the fetch latency.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    s = pl.program_id(0)
+    lo = lo_ref[s]
+    hi = hi_ref[s]
+
+    def copy_for(i, slot):
+        h = s - slab0_ref[i]
+        # rows_ref is 2-D [Lp*H*8, 128]; a half = 8 rows at 8*(H*i + h) —
+        # the 8-row shape and the *8 offset satisfy Mosaic's dim-0 tiling.
+        return pltpu.make_async_copy(
+            rows_ref.at[pl.ds((H * i + h) * 8, 8), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(lo < hi)
+    def _first():
+        copy_for(lo, lo & 1).start()
+
+    def body(i, acc):
+        slot = i & 1
+
+        @pl.when(i + 1 < hi)
+        def _next():
+            copy_for(i + 1, (i + 1) & 1).start()
+
+        copy_for(i, slot).wait()
+        return acc | buf[slot]
+
+    acc = jax.lax.fori_loop(lo, hi, body, jnp.zeros((8, LANE), jnp.int32))
+    out_ref[0] = acc
+
+
+def linear_from_rows(rows, slab0, nslabs_total: int, H: int,
+                     interpret: bool | None = None):
+    """Pallas combine: per-lane aligned rows -> linear stream slab words.
+
+    Args:
+      rows: i32[Lp, H*1024] — lane ``l``'s payload bits, pre-shifted so bit
+        0 of half ``h`` is bit 0 of output slab ``slab0[l] + h`` (zeros
+        everywhere the lane holds no payload).
+      slab0: i32[Lp] — each lane's origin slab index, nondecreasing
+        (padding lanes use a past-the-end sentinel).
+      nslabs_total: output slabs (B * per-stream slabs).
+
+    Returns i32[nslabs_total, 8, 128] — reshape to [B, Wpad] stream words.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    Lp, WH = rows.shape
+    assert WH == H * SLAB
+
+    sidx = jnp.arange(nslabs_total, dtype=jnp.int32)
+    # Lanes with slab0 in (s-H, s] can contribute to slab s.
+    lo = jnp.searchsorted(slab0, sidx - (H - 1), side="left").astype(jnp.int32)
+    hi = jnp.searchsorted(slab0, sidx, side="right").astype(jnp.int32)
+
+    f = pl.pallas_call(
+        functools.partial(_combine_kernel, H=H),
+        grid=(nslabs_total,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 8, LANE), lambda s: (s, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nslabs_total, 8, LANE), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((2, 8, LANE), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    if interpret:
+        # XLA oracle (the DMA machinery has no ANY-space interpreter):
+        # rows[l, h*SLAB + j] lands at flat word slab0[l]*SLAB + h*SLAB + j.
+        # Contributions overlap only at chunk-boundary words with disjoint
+        # bits, so an add-scatter equals the kernel's OR.
+        idx = (slab0[:, None] * SLAB
+               + jnp.arange(WH, dtype=jnp.int32)[None, :])
+        total = nslabs_total * SLAB
+        out = jnp.zeros(total, jnp.int32).at[
+            jnp.clip(idx, 0, total).reshape(-1)
+        ].add(
+            jnp.where((idx >= 0) & (idx < total), rows, 0).reshape(-1),
+            mode="drop",
+        )
+        return out.reshape(nslabs_total, 8, LANE)
+    return f(lo, hi, slab0, rows.reshape(Lp * H * 8, LANE))
+
+
 def stage_blocked_from_linear(words, chunk_starts, C: int, wwin: int,
                               interpret: bool | None = None,
                               dma_depth: int = 32):

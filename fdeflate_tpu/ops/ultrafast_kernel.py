@@ -237,9 +237,65 @@ def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0,
     return v, nb, at_extra, aligned, sym
 
 
+_PACK_S = 2048          # pack-lane chunk bytes (linear kernel-pack path)
+_PACK_WWIN = 2048       # slab-aligned window words per pack lane
+
+
+def _linear_kernel_pack(v, nb, at_extra, cum, W: int):
+    """Token bits -> linear stream words through the Pallas pack kernel.
+
+    The XLA segment-sum scatter costs ~13 ns/element and dominates the
+    whole linear encode (~197 of 260 ms at the bench geometry,
+    bench/probe_encmarg.py).  This path reuses the blocked pack kernel for
+    the LINEAR layout: tokens pack at slab-relative bit offsets into
+    per-lane windows whose word 0 is a 1024-word output slab boundary, a
+    corner turn makes the windows lane-major rows, and a DMA combine
+    kernel (ops/repack.linear_from_rows) ORs the rows into the stream
+    words.  Bit-exact vs the scatter path (tests/test_linear_pack.py).
+
+    Returns words i32[B, Wpad] (Wpad = W rounded up to 1024) with the
+    payload bits placed; header and EOF are OR'd in by the caller.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from .pallas_pack import pack_blocked_pallas_v2, pack_tokens_v2
+    from .pallas_decode2 import corner_turn
+    from .repack import linear_from_rows
+
+    i32 = jnp.int32
+    B, N = v.shape
+    S = _PACK_S
+    C = N // S
+    L = B * C
+    LB = -(-L // 1024)
+    Lp = LB * 1024
+
+    pos_slot = STREAM_HEADER_BITS + cum - nb          # [B, N] token bits
+    pos0 = pos_slot[:, ::S]                           # [B, C] lane starts
+    orig = (pos0 >> 15) << 15                         # slab-aligned origins
+    rel = pos_slot - jnp.repeat(orig, S, axis=1)
+
+    tokb, relpb, npairb = pack_tokens_v2(v, nb, rel, C)
+    win = pack_blocked_pallas_v2(tokb, relpb, npairb, _PACK_WWIN)
+    rows = corner_turn(win).reshape(Lp, _PACK_WWIN)
+
+    Wpad = W + (-W) % 1024
+    nslabs = Wpad // 1024
+    slab0 = jnp.arange(B, dtype=i32)[:, None] * nslabs + (orig >> 15)
+    slab0 = slab0.reshape(-1)
+    if Lp > L:
+        slab0 = jnp.concatenate(
+            [slab0, jnp.full((Lp - L,), B * nslabs, i32)])
+
+    out = linear_from_rows(rows, slab0, B * nslabs, H=_PACK_WWIN // 1024)
+    return out.reshape(B, Wpad)
+
+
 def encode_ultrafast_batch(
     data, lengths, lut_matmul: bool | None = None, num_chunks: int = 0,
     fixed_geometry: bool = False, return_eof: bool = False,
+    kernel_pack: bool | None = None,
 ):
     """Encode ``B`` streams of padded length ``N``.
 
@@ -280,6 +336,8 @@ def encode_ultrafast_batch(
         lut_matmul = jax.default_backend() == "tpu" or (
             jax.devices()[0].platform not in ("cpu",)
         )
+    if kernel_pack is None:
+        kernel_pack = jax.default_backend() == "tpu"
     split_S = N // num_chunks if (fixed_geometry and num_chunks) else 0
     v, nb, at_extra, aligned = _assign_tokens(data, lengths, lut_matmul, split_S)
     idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
@@ -292,48 +350,55 @@ def encode_ultrafast_batch(
     eof_pos = payload_end
     total_bits = ((eof_pos + _EOF_BITS + 7) // 8) * 8
 
-    # Pair-combine adjacent tokens before scattering: two <=13-bit tokens
-    # concatenate into one <=26-bit token, halving the scatter volume.
-    v0 = v[:, 0::2].astype(u32)
-    v1 = v[:, 1::2].astype(u32)
-    n0 = nb[:, 0::2]
-    n1 = nb[:, 1::2]
-    vp = (v0 | (v1 << n0.astype(u32))).astype(u32)
-    npair = n0 + n1
-    positions = STREAM_HEADER_BITS + cum[:, 1::2] - npair  # pair start bits
-
     # u32 words per stream: every byte emits at most one token of <= 13 bits
     # (literal <= 12; the 258-run token is 13), plus header/EOF/slack.
     W = (13 * N + STREAM_HEADER_BITS + _EOF_BITS + 31) // 32 + 2
-    wi = positions >> 5
-    sh = (positions & 31).astype(u32)
-    lo = (vp << sh).astype(u32)
-    hi = ((vp >> 1) >> (31 - sh).astype(u32)).astype(u32)
-    valid = npair > 0
 
-    # Empty pairs contribute 0 at their natural slot: an empty token's
-    # position equals the next symbol's start bit, so the flat index stream
-    # is genuinely nondecreasing and ``indices_are_sorted=True`` is a true
-    # promise.  (Routing empties to a dump segment past the end — the
-    # previous formulation — interleaves out-of-order indices, and the TPU
-    # sorted-scatter lowering then silently corrupts neighbouring words;
-    # measured 881k bad words on a 16 MiB batch, bench/debug_enc2048.py.)
-    Np = N // 2
-    row = jax.lax.broadcasted_iota(i32, (B, Np), 0)
-    flat = row * W + wi
-    words = jax.ops.segment_sum(
-        jnp.where(valid, lo.astype(i32), 0).reshape(-1),
-        flat.reshape(-1),
-        num_segments=B * W,
-        indices_are_sorted=True,
-    )
-    words = words + jax.ops.segment_sum(
-        jnp.where(valid, hi.astype(i32), 0).reshape(-1),
-        (flat + 1).reshape(-1),
-        num_segments=B * W,
-        indices_are_sorted=True,
-    )
-    words = words.reshape(B, W).astype(u32)
+    if kernel_pack and N % _PACK_S == 0:
+        words = _linear_kernel_pack(v, nb, at_extra, cum, W).astype(u32)
+        W = words.shape[1]
+    else:
+        # Pair-combine adjacent tokens before scattering: two <=13-bit
+        # tokens concatenate into one <=26-bit token, halving the scatter
+        # volume.
+        v0 = v[:, 0::2].astype(u32)
+        v1 = v[:, 1::2].astype(u32)
+        n0 = nb[:, 0::2]
+        n1 = nb[:, 1::2]
+        vp = (v0 | (v1 << n0.astype(u32))).astype(u32)
+        npair = n0 + n1
+        positions = STREAM_HEADER_BITS + cum[:, 1::2] - npair  # pair starts
+
+        wi = positions >> 5
+        sh = (positions & 31).astype(u32)
+        lo = (vp << sh).astype(u32)
+        hi = ((vp >> 1) >> (31 - sh).astype(u32)).astype(u32)
+        valid = npair > 0
+
+        # Empty pairs contribute 0 at their natural slot: an empty token's
+        # position equals the next symbol's start bit, so the flat index
+        # stream is genuinely nondecreasing and ``indices_are_sorted=True``
+        # is a true promise.  (Routing empties to a dump segment past the
+        # end — the previous formulation — interleaves out-of-order
+        # indices, and the TPU sorted-scatter lowering then silently
+        # corrupts neighbouring words; measured 881k bad words on a 16 MiB
+        # batch, bench/debug_enc2048.py.)
+        Np = N // 2
+        row = jax.lax.broadcasted_iota(i32, (B, Np), 0)
+        flat = row * W + wi
+        words = jax.ops.segment_sum(
+            jnp.where(valid, lo.astype(i32), 0).reshape(-1),
+            flat.reshape(-1),
+            num_segments=B * W,
+            indices_are_sorted=True,
+        )
+        words = words + jax.ops.segment_sum(
+            jnp.where(valid, hi.astype(i32), 0).reshape(-1),
+            (flat + 1).reshape(-1),
+            num_segments=B * W,
+            indices_are_sorted=True,
+        )
+        words = words.reshape(B, W).astype(u32)
 
     # OR in the constant header and the per-stream EOF token.
     hdr = jnp.asarray(_header_words(16))

@@ -484,10 +484,11 @@ def try_foreign(data: bytes, max_steps: int = 6144,
                                       words_dev=words_dev)
         if decoded is None:
             return None
-        records, raw_recs, bpos_np, eob_np = decoded
+        records, raw_recs, bpos_np, eob_np, lane_adv = decoded
     else:
         records, bpos_np, eob_np = _xla_lane_decode(data, lanes, max_steps)
         raw_recs = None
+        lane_adv = None
 
     # Chain walk: confirm blocks whose EOB exit is the next header's start.
     by_off = {off: i for i, (off, *_rest) in enumerate(lanes)}
@@ -529,56 +530,78 @@ def try_foreign(data: bytes, max_steps: int = 6144,
         return None  # malformed records / no native backend
 
     # Stitch: mask non-chain lanes inert, keep lane order (offsets sorted),
-    # rearrange [K, L] -> [L*K, 1] and materialize once.
+    # rearrange [K, L] -> [L*K, 1] and materialize once.  The whole block —
+    # mask, bad-dist check, materialize, on-device Adler — runs as ONE
+    # jitted program (round 2 dispatched its ~100 jnp ops eagerly, each
+    # paying this platform's ~30 ms launch floor: the 0.003 GB/s foreign
+    # number was mostly dispatch).  Capacity comes from the decode
+    # launches' per-lane byte counts, so no record readback is needed.
     K = records[0].shape[0]
     mask_np = np.zeros(L, bool)
     mask_np[chain] = True
-    mask = jnp.asarray(mask_np)[None, :]
-
-    rl, rlh, rc, rn, rd = records[:5]
-    rl = jnp.where(mask, rl, 0)
-    rlh = jnp.where(mask, rlh, 0)
-    rc = jnp.where(mask, rc, 0)
-    rn = jnp.where(mask, rn, 0)
-    rd = jnp.where(mask, rd, 0)
-
-    def rearrange(a):
-        return a.T.reshape(L * K, 1)
-
-    rl2, rlh2, rc2, rn2, rd2 = map(rearrange, (rl, rlh, rc, rn, rd))
-    adv = rc2.astype(jnp.int32) + rn2
-    pos = jnp.cumsum(adv, axis=0) - adv
-    bad_dist = bool(np.asarray(jnp.any((rd2 > 0) & (rd2 > pos))))
-    if bad_dist:
-        return None
-    produced = int(np.asarray(jnp.sum(adv)))
-
+    if lane_adv is None:
+        rc_, rn_ = records[2], records[3]
+        lane_adv = np.asarray(
+            jnp.sum(rc_.astype(jnp.int32) + rn_, axis=0)).astype(np.int64)
+    produced = int(lane_adv[mask_np].sum())
     cap = 1 << int(np.ceil(np.log2(max(produced, 256))))
-    out, _ = I.materialize(
-        (rl2, rlh2, rc2, rn2, rd2),
-        jnp.zeros((1, I.WINDOW), jnp.uint8),
-        jnp.asarray([produced], jnp.int32),
-        out_capacity=cap,
-        want_window=False,
-    )
+
+    out, ck, bad_dist = _jit_stitch(K, L, cap)(
+        *records[:5], jnp.asarray(mask_np), jnp.int32(produced))
 
     # Trailer: byte-align after the final block, 4 bytes big-endian.
     tb = (final_exit + 7) & ~7
     stored = int.from_bytes(data[tb // 8 : tb // 8 + 4], "big")
     if return_device:
-        # Device-resident contract: verify the checksum ON DEVICE; only the
-        # 32-bit scalar reads back over the (slow) host link.
-        from ..ops.adler32 import adler32_jax
-
-        a = int(np.asarray(
-            adler32_jax(out[0], length=jnp.int32(produced))))
-        if stored != a:
+        # Device-resident contract: verify the checksum ON DEVICE; only two
+        # scalars read back over the (slow) host link.
+        if bool(np.asarray(bad_dist)) or stored != int(np.asarray(ck)):
             return None
         return out, produced
+    if bool(np.asarray(bad_dist)):
+        return None
     result = np.asarray(out)[0, :produced].tobytes()
     if stored != zlib.adler32(result):
         return None  # chain was structurally plausible but wrong
     return result
+
+
+@functools.lru_cache(maxsize=16)
+def _jit_stitch(K: int, L: int, cap: int):
+    """One-program stitch: mask chain lanes, validate distances,
+    materialize, Adler-32 — scalars + output stay on device."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.adler32 import adler32_jax
+
+    @jax.jit
+    def run(rl, rlh, rc, rn, rd, mask, produced):
+        m = mask[None, :]
+        rl = jnp.where(m, rl, 0)
+        rlh = jnp.where(m, rlh, 0)
+        rc = jnp.where(m, rc, 0)
+        rn = jnp.where(m, rn, 0)
+        rd = jnp.where(m, rd, 0)
+
+        def rearrange(a):
+            return a.T.reshape(L * K, 1)
+
+        rl2, rlh2, rc2, rn2, rd2 = map(rearrange, (rl, rlh, rc, rn, rd))
+        adv = rc2.astype(jnp.int32) + rn2
+        pos = jnp.cumsum(adv, axis=0) - adv
+        bad_dist = jnp.any((rd2 > 0) & (rd2 > pos))
+        out, _ = I.materialize(
+            (rl2, rlh2, rc2, rn2, rd2),
+            jnp.zeros((1, I.WINDOW), jnp.uint8),
+            produced[None],
+            out_capacity=cap,
+            want_window=False,
+        )
+        ck = adler32_jax(out[0], length=produced)
+        return out, ck, bad_dist
+
+    return run
 
 
 def try_foreign_batch(streams: list[bytes], max_steps: int = 6144,
@@ -632,7 +655,7 @@ def try_foreign_batch(streams: list[bytes], max_steps: int = 6144,
                                   words_dev=words_dev)
     if decoded is None:
         return results
-    records, _raw, bpos_np, eob_np = decoded
+    records, _raw, bpos_np, eob_np, _lane_adv = decoded
     L_all = len(glanes)
     K = records[0].shape[0]
 
@@ -814,7 +837,12 @@ def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
         recs_t = jnp.transpose(recs, (1, 0, 2, 3)).reshape(K, nlanes)
         recs_t = jnp.where(active_d[None, :], recs_t[:, :L], 0)
         records = PI.recs_to_records(recs_t)
-        return records, recs_t, bpos.reshape(nlanes), done.reshape(nlanes)
+        # Per-lane output bytes this launch: lets the host size the
+        # materialize capacity without an extra eager record reduction.
+        rl, rlh, rc, rn, rd = records[:5]
+        lane_adv = jnp.sum(rc.astype(jnp.int32) + rn, axis=0)
+        return (records, recs_t, bpos.reshape(nlanes),
+                done.reshape(nlanes), lane_adv)
 
     return run
 
@@ -891,6 +919,7 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
     state = np.zeros(L, np.int8)  # 0 running, 1 eob, 2 error
     parts: list[tuple] = []
     raw_parts: list = []
+    lane_adv_total = np.zeros(L, np.int64)
     slots_used = 0
     while slots_used < K and (state == 0).any():
         active = state == 0
@@ -898,7 +927,7 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
         pos0 = np.zeros(nlanes, np.int32)
         start_word[:L] = np.where(active, pos_cur >> 5, 0)
         pos0[:L] = np.where(active, pos_cur & 31, 0)
-        records, raw, bpos_rel, done = _jit_pallas_lanes(
+        records, raw, bpos_rel, done, lane_adv = _jit_pallas_lanes(
             LB, L, wwin, K_launch)(
             words_dev,
             jnp.asarray(blocked(start_word.reshape(nlanes, 1))[:, 0]),
@@ -909,6 +938,7 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
         )
         parts.append(records)
         raw_parts.append(raw)
+        lane_adv_total += np.asarray(lane_adv).astype(np.int64)
         done_np = np.asarray(done)[:L]
         new_pos = (np.asarray(bpos_rel)[:L].astype(np.int64)
                    + (pos_cur >> 5) * 32)
@@ -930,4 +960,4 @@ def _pallas_lane_decode(data: bytes, lanes, max_steps: int, words_dev=None):
             jnp.concatenate([p[j] for p in parts], axis=0) for j in range(5)
         )
         raw = jnp.concatenate(raw_parts, axis=0)
-    return records, raw, pos_cur, state == 1
+    return records, raw, pos_cur, state == 1, lane_adv_total
