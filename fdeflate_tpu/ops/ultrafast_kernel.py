@@ -277,6 +277,89 @@ def _linear_kernel_pack(v, nb, at_extra, cum, W: int):
     rel = pos_slot - jnp.repeat(orig, S, axis=1)
 
     tokb, relpb, npairb = pack_tokens_v2(v, nb, rel, C)
+    return _pack_linear_words(tokb, relpb, npairb, orig, B, W)
+
+
+def _frame_words(words, eof_pos):
+    """OR in the constant zlib+dynamic-block header and the EOF token."""
+    import jax.numpy as jnp
+
+    u32 = jnp.uint32
+    B = words.shape[0]
+    hdr = jnp.asarray(_header_words(16))
+    words = words.at[:, :16].add(hdr)  # header bits disjoint from payload
+
+    eof_wi = eof_pos >> 5
+    eof_sh = (eof_pos & 31).astype(u32)
+    eof_lo = (jnp.uint32(_EOF_CODE) << eof_sh).astype(u32)
+    eof_hi = ((jnp.uint32(_EOF_CODE) >> 1)
+              >> (31 - eof_sh).astype(u32)).astype(u32)
+    rows = jnp.arange(B)
+    words = words.at[rows, eof_wi].add(eof_lo)
+    words = words.at[rows, eof_wi + 1].add(eof_hi)
+    return words
+
+
+def _encode_linear_assign(data, lengths, C: int, return_eof: bool):
+    """Whole-kernel linear encode: assign kernel -> pack kernel -> combine.
+
+    The XLA _assign_tokens chain (one-hot-matmul literal lookup +
+    segmentation scans, ~63 ms / 16 MiB on hardware) is replaced by
+    ops/pallas_assign; everything that remains in XLA is O(B*C) index math
+    plus the framing adds and the Adler reduction.
+    """
+    import jax.numpy as jnp
+
+    from .pallas_assign import assign_tokens_blocked
+
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    B, N = data.shape
+    L = B * C
+    LB = -(-L // 1024)
+    Lp = LB * 1024
+
+    tok, relp, npair, chunk_bits = assign_tokens_blocked(data, lengths, C)
+    csum = jnp.cumsum(chunk_bits, axis=1)
+    pos0 = STREAM_HEADER_BITS + csum - chunk_bits   # [B, C] lane start bits
+    eof_pos = STREAM_HEADER_BITS + csum[:, -1]
+    total_bits = ((eof_pos + _EOF_BITS + 7) // 8) * 8
+    W = (13 * N + STREAM_HEADER_BITS + _EOF_BITS + 31) // 32 + 2
+
+    orig = (pos0 >> 15) << 15
+    off = (pos0 - orig).reshape(-1)                 # in-slab bit offsets
+    if Lp > L:
+        off = jnp.concatenate([off, jnp.zeros((Lp - L,), i32)])
+    offr = off.reshape(LB, 8, 128)[:, None]         # [LB, 1, 8, 128]
+    relp_lin = relp + offr
+
+    words = _pack_linear_words(tok, relp_lin, npair, orig, B, W).astype(u32)
+    words = _frame_words(words, eof_pos)
+    adler = adler32_batch(data, lengths)
+
+    if return_eof:
+        return words, total_bits.astype(i32), adler, pos0, eof_pos
+    return words, total_bits.astype(i32), adler, pos0
+
+
+def _pack_linear_words(tokb, relpb, npairb, orig, B: int, W: int):
+    """Shared tail of both kernel encode paths: pack kernel at
+    slab-relative offsets -> corner turn -> DMA OR-combine -> [B, Wpad].
+
+    ``relpb`` must already be slab-relative (pair bit offsets from each
+    lane's ``orig``, the slab-aligned bit origin i32[B, C])."""
+    import jax.numpy as jnp
+
+    from .pallas_pack import pack_blocked_pallas_v2
+    from .pallas_decode2 import corner_turn
+    from .repack import linear_from_rows
+
+    i32 = jnp.int32
+    _, C = orig.shape
+    L = B * C
+    LB = -(-L // 1024)
+    Lp = LB * 1024
+
     win = pack_blocked_pallas_v2(tokb, relpb, npairb, _PACK_WWIN)
     rows = corner_turn(win).reshape(Lp, _PACK_WWIN)
 
@@ -295,7 +378,7 @@ def _linear_kernel_pack(v, nb, at_extra, cum, W: int):
 def encode_ultrafast_batch(
     data, lengths, lut_matmul: bool | None = None, num_chunks: int = 0,
     fixed_geometry: bool = False, return_eof: bool = False,
-    kernel_pack: bool | None = None,
+    kernel_pack: bool | None = None, kernel_assign: bool | None = None,
 ):
     """Encode ``B`` streams of padded length ``N``.
 
@@ -338,6 +421,12 @@ def encode_ultrafast_batch(
         )
     if kernel_pack is None:
         kernel_pack = jax.default_backend() == "tpu"
+    if kernel_assign is None:
+        kernel_assign = kernel_pack
+    if (kernel_assign and fixed_geometry and num_chunks
+            and N % num_chunks == 0
+            and (N // num_chunks) % 32 == 0):
+        return _encode_linear_assign(data, lengths, num_chunks, return_eof)
     split_S = N // num_chunks if (fixed_geometry and num_chunks) else 0
     v, nb, at_extra, aligned = _assign_tokens(data, lengths, lut_matmul, split_S)
     idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
@@ -400,18 +489,7 @@ def encode_ultrafast_batch(
         )
         words = words.reshape(B, W).astype(u32)
 
-    # OR in the constant header and the per-stream EOF token.
-    hdr = jnp.asarray(_header_words(16))
-    words = words.at[:, :16].add(hdr)  # header bits are disjoint from payload
-
-    eof_wi = eof_pos >> 5
-    eof_sh = (eof_pos & 31).astype(u32)
-    eof_lo = (jnp.uint32(_EOF_CODE) << eof_sh).astype(u32)
-    eof_hi = ((jnp.uint32(_EOF_CODE) >> 1) >> (31 - eof_sh).astype(u32)).astype(u32)
-    rows = jnp.arange(B)
-    words = words.at[rows, eof_wi].add(eof_lo)
-    words = words.at[rows, eof_wi + 1].add(eof_hi)
-
+    words = _frame_words(words, eof_pos)
     adler = adler32_batch(data, lengths)
 
     if num_chunks:

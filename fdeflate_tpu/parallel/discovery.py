@@ -544,7 +544,7 @@ def try_foreign(data: bytes, max_steps: int = 6144,
         lane_adv = np.asarray(
             jnp.sum(rc_.astype(jnp.int32) + rn_, axis=0)).astype(np.int64)
     produced = int(lane_adv[mask_np].sum())
-    cap = 1 << int(np.ceil(np.log2(max(produced, 256))))
+    cap = _cap_bucket(produced)
 
     out, ck, bad_dist = _jit_stitch(K, L, cap)(
         *records[:5], jnp.asarray(mask_np), jnp.int32(produced))
@@ -564,6 +564,21 @@ def try_foreign(data: bytes, max_steps: int = 6144,
     if stored != zlib.adler32(result):
         return None  # chain was structurally plausible but wrong
     return result
+
+
+def _cap_bucket(produced: int) -> int:
+    """Materialize capacity bucket: {1, 1.5} * 2^k covering ``produced``.
+
+    Every materialize pass is output-capacity-sized, so pure power-of-two
+    bucketing wastes up to 2x on streams just past a boundary (an 8.4 MB
+    output would pay 16.8M-element passes); the extra 1.5*2^k bucket caps
+    the overshoot at 33% for one more compile-cache entry per octave.
+    """
+    produced = max(produced, 256)
+    p2 = 1 << int(np.ceil(np.log2(produced)))
+    if 3 * p2 // 4 >= produced:
+        return 3 * p2 // 4
+    return p2
 
 
 @functools.lru_cache(maxsize=16)
@@ -722,7 +737,7 @@ def try_foreign_batch(streams: list[bytes], max_steps: int = 6144,
     if not ok_cols.any():
         return results
     prod_ok = np.where(ok_cols, produced, 0)
-    cap = 1 << int(np.ceil(np.log2(max(int(prod_ok.max()), 256))))
+    cap = _cap_bucket(int(prod_ok.max()))
     out, _ = I.materialize(
         (rl2, rlh2, rc2, rn2, rd2),
         jnp.zeros((Sc, I.WINDOW), jnp.uint8),
@@ -823,13 +838,7 @@ def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
 
     @jax.jit
     def run(words_d, starts_d, pos0_d, meta_d, tab_d, active_d):
-        words_ext = jnp.concatenate([words_d, jnp.zeros((1,), jnp.int32)])
-        idx = jnp.minimum(
-            starts_d.reshape(LB, 1, 8, 128)
-            + jnp.arange(wwin, dtype=jnp.int32).reshape(1, wwin, 1, 1),
-            words_d.shape[0],
-        )
-        win = jnp.take(words_ext, idx, axis=0)
+        win = _stage_windows(words_d, starts_d, LB, wwin)
         recs, bpos, done = PI.decode_records_blocked(
             win, pos0_d, meta_d, tab_d, K=K)
         # step-major [K, nlanes] records for the stitcher; lanes already
@@ -845,6 +854,44 @@ def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
                 done.reshape(nlanes), lane_adv)
 
     return run
+
+
+def _stage_windows(words_d, starts_d, LB: int, wwin: int):
+    """Per-lane decode windows from flat stream words.
+
+    On TPU: aligned slab DMA (ops/repack.fetch_slabs) + a word-granular
+    log-shift — the jnp.take formulation this replaces materialized a
+    [LB, wwin, 8, 128] index tensor and gathered ~wwin*1024 words per
+    launch at ~7 ns/element (bench/probe_gather.py), several times the
+    record kernel's own cost.  Elsewhere: the take (oracle path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..ops.repack import SLAB, fetch_slabs
+
+    i32 = jnp.int32
+    Lp = LB * 1024
+    starts_flat = starts_d.reshape(-1)
+    if jax.default_backend() != "tpu":
+        words_ext = jnp.concatenate([words_d, jnp.zeros((1,), i32)])
+        idx = jnp.minimum(
+            starts_d.reshape(LB, 1, 8, 128)
+            + jnp.arange(wwin, dtype=i32).reshape(1, wwin, 1, 1),
+            words_d.shape[0],
+        )
+        return jnp.take(words_ext, idx, axis=0)
+
+    wl = (wwin + 2 * SLAB) // SLAB * SLAB
+    flat = jnp.concatenate([words_d, jnp.zeros((wl + SLAB,), i32)])
+    blk = starts_flat >> 10
+    woff = starts_flat & (SLAB - 1)
+    rows = fetch_slabs(flat, blk, wl).reshape(Lp, wl)
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        shifted = jnp.concatenate(
+            [rows[:, k:], jnp.zeros((Lp, k), i32)], axis=1)
+        rows = jnp.where((woff & k)[:, None] != 0, shifted, rows)
+    return rows[:, :wwin].reshape(LB, 8, 128, wwin).transpose(0, 3, 1, 2)
 
 
 def stage_words(data: bytes):
