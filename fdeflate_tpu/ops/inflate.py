@@ -444,7 +444,8 @@ def decode_symbols(
 
 
 def materialize(records, window, produced, out_capacity: int,
-                ptr_rounds: int | None = None, want_window: bool = True):
+                ptr_rounds: int | None = None, want_window: bool = True,
+                max_lit_bytes: int = 8):
     """Expand decode records into output bytes.
 
     Args:
@@ -496,12 +497,19 @@ def materialize(records, window, produced, out_capacity: int,
         return jnp.where(sh == 0, jnp.uint32(0), x >> (32 - jnp.minimum(sh, 31)))
 
     w0c = (litT << s_c).astype(jnp.uint32)
-    w1c = rsh32(litT, s) | (litHT << s_c)
-    w2c = rsh32(litHT, s)
+    if max_lit_bytes <= 4:
+        # Foreign-kernel records pack <= 2 literals into litT (lit_hi is
+        # structurally zero, recs_to_records): the contribution spans at
+        # most two words, so the third record-sized scatter is skipped.
+        parts = ((0, w0c), (1, rsh32(litT, s)))
+    else:
+        w1c = rsh32(litT, s) | (litHT << s_c)
+        w2c = rsh32(litHT, s)
+        parts = ((0, w0c), (1, w1c), (2, w2c))
     wordpos = row * extw + (bytepos >> 2)
     words_st = jnp.zeros(B * extw, jnp.int32)
     has = cntT > 0
-    for off, wc in ((0, w0c), (1, w1c), (2, w2c)):
+    for off, wc in parts:
         tgt = jnp.where(has, wordpos + off, dropw)
         words_st = words_st.at[tgt.reshape(-1)].add(
             jnp.where(has, wc.astype(jnp.int32), 0).reshape(-1), mode="drop"
@@ -511,39 +519,63 @@ def materialize(records, window, produced, out_capacity: int,
     vals = ((words_st >> shifts) & 0xFF).reshape(B, ext)
 
     # --- back-reference pointers ----------------------------------------
-    # record id per output position: ones at record starts, cumsum.
     lenT = rn.T
     dstT = rd.T
     is_ref = lenT > 0
-    marks = jnp.zeros((B, ext), jnp.int32)
-    tgt = jnp.where(advT > 0, row * ext + WINDOW + start, drop)
-    marks = (
-        marks.reshape(-1)
-        .at[tgt.reshape(-1)]
-        .add(1, mode="drop")
-        .reshape(B, ext)
-    )
-    # Scatter per-record dist (0 for literal records) at starts.
-    dist_at_start = jnp.zeros((B, ext), jnp.int32)
-    tgt_ref = jnp.where(is_ref, row * ext + WINDOW + start, drop)
-    dist_at_start = (
-        dist_at_start.reshape(-1)
-        .at[tgt_ref.reshape(-1)]
-        .add(jnp.where(is_ref, dstT, 0).reshape(-1), mode="drop")
-        .reshape(B, ext)
-    )
-
     posi = jax.lax.broadcasted_iota(i32, (B, ext), 1)
-    # Start position of the record containing each output position.  (An
-    # earlier design recovered per-position dist with a cummax over
-    # rec_id * 2^16 + dist keys, which silently overflows int32 past 32767
-    # records per stream — the block-parallel foreign path concatenates
-    # every block's records into ONE stream, far beyond that.)
-    rec_start = jax.lax.cummax(jnp.where(marks > 0, posi, -1), axis=1)
-    # Distance for position i = the distance scattered at its record start;
-    # literal records scattered 0 there.
-    pos_dist = jnp.take_along_axis(
-        dist_at_start, jnp.maximum(rec_start, 0), axis=1)
+    tgt = jnp.where(advT > 0, row * ext + WINDOW + start, drop)
+    if ext <= (1 << 24):
+        # Packed-key fill: per-position (rec_start, dist) from TWO
+        # scatter-max + cummax passes over uint32 keys
+        #   k1 = start << 7 | dist >> 8      (24 + 7 bits)
+        #   k2 = start << 8 | dist & 255     (24 + 8 bits)
+        # — both strictly increasing in start, so a running max carries
+        # the CONTAINING record's fields to every position.  This replaces
+        # the round-2 formulation's take_along_axis(dist_at_start,
+        # rec_start): scans cost ~0.4 ns/element on this part but gathers
+        # ~7-11 (bench/probe_gather.py), so the gather dominated the whole
+        # pointer phase.  (A single-key variant needs 39 bits; the older
+        # rec_id*2^16+dist key overflowed int32 past 32767 records.)
+        u32 = jnp.uint32
+        s_abs = (WINDOW + start).astype(u32)
+        d_u = jnp.where(is_ref, dstT, 0).astype(u32)
+        k1 = jnp.where(advT > 0, (s_abs << 7) | (d_u >> 8), u32(0))
+        k2 = jnp.where(advT > 0, (s_abs << 8) | (d_u & 0xFF), u32(0))
+        # NOT sorted: empty records scatter to the drop slot (B*ext),
+        # which interleaves out-of-order indices — a false sortedness
+        # promise silently corrupts TPU scatters (see _pack_blocked).
+        c1 = jnp.zeros(B * ext, u32).at[tgt.reshape(-1)].max(
+            k1.reshape(-1), mode="drop")
+        c2 = jnp.zeros(B * ext, u32).at[tgt.reshape(-1)].max(
+            k2.reshape(-1), mode="drop")
+        c1 = jax.lax.cummax(c1.reshape(B, ext), axis=1)
+        c2 = jax.lax.cummax(c2.reshape(B, ext), axis=1)
+        # rec_start stays in posi coordinates (the keys pack WINDOW+start).
+        # A zero key (no record seen yet) decodes to rec_start=0, dist=0 ->
+        # not a copy, matching the legacy path's -1 sentinel semantics.
+        rec_start = (c1 >> 7).astype(i32)
+        pos_dist = (((c1 & 127) << 8) | (c2 & 0xFF)).astype(i32)
+    else:
+        # Legacy fill for outputs past 2^24: record id per position via
+        # marks + cummax, dist gathered at the record start.
+        marks = jnp.zeros((B, ext), jnp.int32)
+        marks = (
+            marks.reshape(-1)
+            .at[tgt.reshape(-1)]
+            .add(1, mode="drop")
+            .reshape(B, ext)
+        )
+        dist_at_start = jnp.zeros((B, ext), jnp.int32)
+        tgt_ref = jnp.where(is_ref, row * ext + WINDOW + start, drop)
+        dist_at_start = (
+            dist_at_start.reshape(-1)
+            .at[tgt_ref.reshape(-1)]
+            .add(jnp.where(is_ref, dstT, 0).reshape(-1), mode="drop")
+            .reshape(B, ext)
+        )
+        rec_start = jax.lax.cummax(jnp.where(marks > 0, posi, -1), axis=1)
+        pos_dist = jnp.take_along_axis(
+            dist_at_start, jnp.maximum(rec_start, 0), axis=1)
 
     produced_col = WINDOW + produced[:, None]
     in_new = (posi >= WINDOW) & (posi < produced_col)

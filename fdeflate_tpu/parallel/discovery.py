@@ -612,6 +612,7 @@ def _jit_stitch(K: int, L: int, cap: int):
             produced[None],
             out_capacity=cap,
             want_window=False,
+            max_lit_bytes=2,  # foreign records pack <= 2 literals
         )
         ck = adler32_jax(out[0], length=produced)
         return out, ck, bad_dist
