@@ -44,8 +44,12 @@ def main():
                     "not interconnect scaling; run on a pod slice for real "
                     "ICI/DCN numbers"
         }), flush=True)
-    per_device_streams = 2
-    N = 1 << 16
+    # Realistic shapes (round-2 verdict: tiny streams measured dispatch,
+    # not work): >= 1 MiB per stream, 2 streams per device.  Interpret-mode
+    # Pallas on the CPU mesh compiles to real XLA, so the v2 pipeline runs
+    # these shapes fine (~0.3 s warm per step at 4 MiB).
+    per_device_streams = int(os.environ.get("FDN_SCALING_STREAMS", "2"))
+    N = int(os.environ.get("FDN_SCALING_N", str(1 << 20)))
 
     pipeline = os.environ.get("FDN_SCALING_PIPELINE", "v2")
     if pipeline == "v2":
@@ -60,7 +64,8 @@ def main():
         Bt = per_device_streams * nd
         data = jnp.asarray(B.make_idat_corpus(Bt, N))
         if pipeline == "v2":
-            step = roundtrip_step_v2(mesh, chunks=32)
+            # keep S = N/chunks within the kernel's 2896-byte VMEM bound
+            step = roundtrip_step_v2(mesh, chunks=max(32, N >> 11))
         else:
             step = roundtrip_step(mesh, max_steps=N // 4, chunks=4)
         out = step(data)

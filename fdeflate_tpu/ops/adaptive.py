@@ -251,7 +251,8 @@ def symbol_freqs(data, lengths, S: int, lut_matmul: bool):
 
 
 def encode_adaptive_blocked(data, lengths, num_chunks: int,
-                            lut_matmul: bool | None = None):
+                            lut_matmul: bool | None = None,
+                            kernel_assign: bool | None = None):
     """Adaptive-tree, fixed-geometry, lane-blocked encode (one XLA program).
 
     Builds the optimal (length-limited) tree for THIS batch on device, then
@@ -274,11 +275,32 @@ def encode_adaptive_blocked(data, lengths, num_chunks: int,
             jax.devices()[0].platform not in ("cpu",)
         )
 
+    if kernel_assign is None:
+        kernel_assign = jax.default_backend() == "tpu"
+
     freqs = symbol_freqs(data, lengths, S, lut_matmul)
     lens = code_lengths_dp(freqs, MAXL)
     codes, _, _, _ = canonical_codes(lens)
-    rt = _runtime_tables(codes, lens)
 
+    if kernel_assign and S % 32 == 0:
+        # Whole-kernel adaptive encode: the assign kernel's tables are
+        # runtime inputs, so THIS batch's tree reuses the same executable
+        # as the trained-tree encoder (ops/pallas_assign).
+        from .pallas_assign import assign_tokens_blocked
+        from .pallas_pack import pack_blocked_pallas_v2
+        from .ultrafast_kernel import blocked_wpad
+
+        tok, relp, npair, chunk_bits = assign_tokens_blocked(
+            data, lengths, C, rt=(codes.astype(jnp.int32),
+                                  lens.astype(jnp.int32)))
+        wpad0 = blocked_wpad(S)
+        win = pack_blocked_pallas_v2(tok, relp, npair,
+                                     wpad0 + (-wpad0) % 8)
+        adler = adler32_batch(data, lengths)
+        meta, tabp = decode_meta(lens)
+        return win, chunk_bits, adler, lens, meta, tabp
+
+    rt = _runtime_tables(codes, lens)
     v, nb, at_extra, _ = _assign_tokens(data, lengths, lut_matmul, S, rt=rt)
     win, chunk_bits = _pack_blocked(v, nb, at_extra, C)
     adler = adler32_batch(data, lengths)

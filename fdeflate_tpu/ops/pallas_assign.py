@@ -109,6 +109,8 @@ def _kernel(in_ref, la_ref, lmeta_ref, ztab_ref, ltab_ref,
     aligned = lmeta_ref[0, 0]   # per-lane aligned byte count (local)
     length = lmeta_ref[0, 1]    # per-lane logical byte count (local)
     prun0 = lmeta_ref[0, 2]     # chunk-rule prev_run entering the lane
+    zlit_tok = lmeta_ref[0, 3]  # literal-zero token (v | nb << 13)
+    t285_tok = lmeta_ref[0, 4]  # 285-run token incl. its 1 dist bit
 
     # state rows: 0 prev_run, 1 prev_member, 2 cnt258, 3 bitpos, 4..11 bankA
     @pl.when(sb == 0)
@@ -125,9 +127,6 @@ def _kernel(in_ref, la_ref, lmeta_ref, ztab_ref, ltab_ref,
     cnt258 = state[2]
     bitpos = state[3]
     bankA = [state[4 + k] for k in range(8)]
-
-    zlit_tok = jnp.full((8, LANE), _C0 | (_L0 << 13), i32)
-    t285_tok = jnp.full((8, LANE), _C285 | ((_L285 + 1) << 13), i32)
 
     def lit_lookup(zs):
         """Zigzag-indexed literal entries for 8 byte columns at once.
@@ -336,16 +335,21 @@ def _kernel(in_ref, la_ref, lmeta_ref, ztab_ref, ltab_ref,
 
 
 def assign_blocked_pallas(in_words, lane_meta, S: int, U: int = 32,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None, tables=None):
     """Tokenize lane-blocked bytes on the VPU.
 
     Args:
       in_words: i32[LB, 2*T + 2, 8, 128] — each lane's S bytes as S/4
         little-endian words, padded with one extra zero step (T = S/8;
         the final 2 rows MUST be zero — the boundary peek reads them).
-      lane_meta: i32[LB, 4, 8, 128] — rows: aligned byte count (local,
+      lane_meta: i32[LB, 8, 8, 128] — rows: aligned byte count (local,
         multiple of 8), logical byte count (local), chunk-rule prev_run
-        flag entering the lane, unused.
+        flag entering the lane, literal-zero token, 285-run token,
+        3 spare.
+      tables: optional (ztab i32[128], ltab i32[16]) runtime tree rows
+        (see runtime_tables); None selects the trained PNG tree.  Tables
+        are runtime INPUTS either way, so one compiled kernel serves any
+        <=12-bit tree.
       S: bytes per lane (multiple of 8*U).
 
     Returns (tok i32[LB, S, 8, 128], relp i32[LB, S/2, 8, 128],
@@ -365,11 +369,18 @@ def assign_blocked_pallas(in_words, lane_meta, S: int, U: int = 32,
     assert T % U == 0
     SB = T // U
 
-    ztab, lentab = _const_tables()
-    ztab_arg = jnp.asarray(np.ascontiguousarray(
-        np.broadcast_to(ztab[:, None, None], (128, 8, LANE))))
-    ltab_arg = jnp.asarray(np.ascontiguousarray(
-        np.broadcast_to(lentab[:, None, None], (16, 8, LANE))))
+    if tables is None:
+        ztab, lentab = _const_tables()
+        ztab_arg = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(ztab[:, None, None], (128, 8, LANE))))
+        ltab_arg = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(lentab[:, None, None], (16, 8, LANE))))
+    else:
+        ztab_rt, ltab_rt = tables
+        ztab_arg = jnp.broadcast_to(
+            ztab_rt.reshape(128, 1, 1), (128, 8, LANE))
+        ltab_arg = jnp.broadcast_to(
+            ltab_rt.reshape(16, 1, 1), (16, 8, LANE))
 
     f = pl.pallas_call(
         functools.partial(_kernel, U=U),
@@ -381,7 +392,7 @@ def assign_blocked_pallas(in_words, lane_meta, S: int, U: int = 32,
             pl.BlockSpec((1, 2, 8, LANE), lambda lb, sb: (lb, (sb + 1) * U,
                                                           0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 4, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
+            pl.BlockSpec((1, 8, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((128, 8, LANE), lambda lb, sb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -412,12 +423,45 @@ def assign_blocked_pallas(in_words, lane_meta, S: int, U: int = 32,
     return f(in_words, in_words, lane_meta, ztab_arg, ltab_arg)
 
 
+@functools.lru_cache(maxsize=None)
+def _zigzag_perm():
+    """b_of_z[z] — byte value stored at zigzag slot z."""
+    b_of_z = np.zeros(256, np.int64)
+    for b in range(256):
+        zi = 2 * b if b < 128 else 2 * (256 - b) - 1
+        b_of_z[zi] = b
+    return b_of_z
+
+
+def runtime_tables(codes, lens):
+    """Kernel table rows from a runtime canonical tree (device arrays).
+
+    codes/lens: i32[286] (ops/adaptive.canonical_codes).  Returns
+    (ztab i32[128], ltab i32[16], zlit_tok, t285_tok) matching the
+    trained-tree constants' formats.
+    """
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    ent = (codes[:256] | (lens[:256] << 12)).astype(i32)
+    zent = ent[jnp.asarray(_zigzag_perm())]
+    ztab = zent[0::2] | (zent[1::2] << 16)
+    lent = (codes[257:286] | (lens[257:286] << 12)).astype(i32)
+    lent = jnp.concatenate([lent, jnp.zeros(3, i32)])  # pad 29 -> 32
+    ltab = lent[0::2] | (lent[1::2] << 16)
+    zlit_tok = (codes[0] | (lens[0] << 13)).astype(i32)
+    t285_tok = (codes[285] | ((lens[285] + 1) << 13)).astype(i32)
+    return ztab, ltab, zlit_tok, t285_tok
+
+
 def assign_tokens_blocked(data, lengths, C: int, U: int = 32,
-                          interpret: bool | None = None):
+                          interpret: bool | None = None, rt=None):
     """Full kernel tokenize: [B, N] bytes -> pack inputs + chunk bits.
 
     Returns (tok, relp, npair) in the lane-blocked layout pack_blocked_
     pallas_v2 consumes (relp is CHUNK-relative) and chunk_bits i32[B, C].
+    ``rt``: optional (codes, lens) i32[286] device arrays for a runtime
+    canonical tree (the adaptive encoder); None = trained PNG tree.
     """
     import jax.numpy as jnp
 
@@ -430,19 +474,27 @@ def assign_tokens_blocked(data, lengths, C: int, U: int = 32,
     U = int(os.environ.get("FDN_ASSIGN_U", str(U)))
     while S % (8 * U):
         U //= 2
-    in_words, meta = blocked_input(data, lengths, C)
+    if rt is None:
+        tables = None
+        zlit = t285 = None
+    else:
+        ztab, ltab, zlit, t285 = runtime_tables(*rt)
+        tables = (ztab, ltab)
+    in_words, meta = blocked_input(data, lengths, C,
+                                   zlit_tok=zlit, t285_tok=t285)
     tok, relp, npair, bits_rows = assign_blocked_pallas(
-        in_words, meta, S, U=U, interpret=interpret)
+        in_words, meta, S, U=U, interpret=interpret, tables=tables)
     chunk_bits = bits_rows.reshape(-1)[:L].reshape(B, C)
     return tok, relp, npair, chunk_bits.astype(jnp.int32)
 
 
-def blocked_input(data, lengths, C: int):
+def blocked_input(data, lengths, C: int, zlit_tok=None, t285_tok=None):
     """XLA prep: [B, N] bytes -> kernel inputs (in_words, lane_meta).
 
     One relayout pass: bytes view as little-endian words, lanes = fixed
-    S-byte chunks, plus the per-lane meta rows (local aligned/length and
-    the 8-byte-chunk rule's prev_run entering each lane).
+    S-byte chunks, plus the per-lane meta rows (local aligned/length, the
+    8-byte-chunk rule's prev_run entering each lane, and the two run
+    tokens — trained-tree constants unless a runtime tree passes its own).
     """
     import jax
     import jax.numpy as jnp
@@ -486,8 +538,13 @@ def blocked_input(data, lengths, C: int):
             x = jnp.concatenate([x, jnp.zeros((Lp - L,), x.dtype)])
         return x.reshape(LB, 8, LANE)
 
+    if zlit_tok is None:
+        zlit_tok = jnp.int32(_C0 | (_L0 << 13))
+        t285_tok = jnp.int32(_C285 | ((_L285 + 1) << 13))
+    zeros = jnp.zeros((LB, 8, LANE), i32)
     meta = jnp.stack(
         [lane_rows(al_loc), lane_rows(ln_loc),
          lane_rows(prev_run.astype(i32)),
-         jnp.zeros((LB, 8, LANE), i32)], axis=1)
+         zeros + zlit_tok, zeros + t285_tok,
+         zeros, zeros, zeros], axis=1)
     return in_words, meta

@@ -520,7 +520,8 @@ def blocked_wpad(S: int) -> int:
 
 def encode_ultrafast_blocked(data, lengths, num_chunks: int,
                              lut_matmul: bool | None = None,
-                             kernel_pack: bool | None = None):
+                             kernel_pack: bool | None = None,
+                             kernel_assign: bool | None = None):
     """Fixed-geometry, lane-blocked ultra-fast encode.
 
     Splits every stream into ``C = num_chunks`` chunks of exactly ``S = N/C``
@@ -552,6 +553,23 @@ def encode_ultrafast_blocked(data, lengths, num_chunks: int,
         lut_matmul = jax.default_backend() == "tpu" or (
             jax.devices()[0].platform not in ("cpu",)
         )
+    if kernel_assign is None:
+        kernel_assign = (kernel_pack if kernel_pack is not None
+                         else jax.default_backend() == "tpu")
+
+    if kernel_assign and S % 32 == 0:
+        # Whole-kernel blocked encode: the assign kernel's outputs are
+        # exactly the pack kernel's inputs with chunk-relative offsets.
+        from .pallas_assign import assign_tokens_blocked
+        from .pallas_pack import pack_blocked_pallas_v2
+
+        tok, relp, npair, chunk_bits = assign_tokens_blocked(
+            data, lengths, C)
+        wpad0 = blocked_wpad(S)
+        win = pack_blocked_pallas_v2(tok, relp, npair,
+                                     wpad0 + (-wpad0) % 8)
+        adler = adler32_batch(data, lengths)
+        return win, chunk_bits, adler
 
     v, nb, at_extra, aligned = _assign_tokens(data, lengths, lut_matmul, S)
     win, chunk_bits = _pack_blocked(v, nb, at_extra, C,

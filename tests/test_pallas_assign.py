@@ -92,6 +92,43 @@ def test_ragged_lengths():
     _check(d, np.array([2048, 1037, 264], np.int32), 4)
 
 
+def test_blocked_windows_match_oracle():
+    rng = np.random.default_rng(7)
+    d = rng.integers(0, 256, (2, 1024)).astype(np.uint8)
+    d[rng.random((2, 1024)) < 0.5] = 0
+    lengths = np.full(2, 1024, np.int32)
+    wa, ba, aa = UK.encode_ultrafast_blocked(
+        jnp.asarray(d), jnp.asarray(lengths), 4,
+        kernel_pack=False, kernel_assign=False)
+    wb, bb, ab = UK.encode_ultrafast_blocked(
+        jnp.asarray(d), jnp.asarray(lengths), 4,
+        kernel_pack=True, kernel_assign=True)
+    wa, wb = np.asarray(wa), np.asarray(wb)
+    ww = min(wa.shape[1], wb.shape[1])
+    np.testing.assert_array_equal(wa[:, :ww], wb[:, :ww])
+    assert not wa[:, ww:].any() and not wb[:, ww:].any()
+    np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb))
+    np.testing.assert_array_equal(np.asarray(aa), np.asarray(ab))
+
+
+def test_adaptive_runtime_tree_windows():
+    from fdeflate_tpu.ops.adaptive import encode_adaptive_blocked
+
+    rng = np.random.default_rng(11)
+    d = rng.integers(0, 64, (2, 1024)).astype(np.uint8)
+    d[rng.random((2, 1024)) < 0.5] = 0
+    lengths = jnp.asarray(np.full(2, 1024, np.int32))
+    wa, ba, _aa, la, _ma, _ta = encode_adaptive_blocked(
+        jnp.asarray(d), lengths, 4, kernel_assign=False)
+    wb, bb, _ab, lb_, _mb, _tb = encode_adaptive_blocked(
+        jnp.asarray(d), lengths, 4, kernel_assign=True)
+    np.testing.assert_array_equal(np.asarray(la), np.asarray(lb_))
+    wa, wb = np.asarray(wa), np.asarray(wb)
+    ww = min(wa.shape[1], wb.shape[1])
+    np.testing.assert_array_equal(wa[:, :ww], wb[:, :ww])
+    np.testing.assert_array_equal(np.asarray(ba), np.asarray(bb))
+
+
 def test_cell_boundary_runs_roundtrip():
     rng = np.random.default_rng(6)
     d = np.zeros((2, 2048), np.uint8)
