@@ -527,20 +527,26 @@ def materialize(records, window, produced, out_capacity: int,
     if ext <= (1 << 24):
         # Packed-key fill: per-position (rec_start, dist) from TWO
         # scatter-max + cummax passes over uint32 keys
-        #   k1 = start << 7 | dist >> 8      (24 + 7 bits)
-        #   k2 = start << 8 | dist & 255     (24 + 8 bits)
-        # — both strictly increasing in start, so a running max carries
-        # the CONTAINING record's fields to every position.  This replaces
-        # the round-2 formulation's take_along_axis(dist_at_start,
-        # rec_start): scans cost ~0.4 ns/element on this part but gathers
-        # ~7-11 (bench/probe_gather.py), so the gather dominated the whole
-        # pointer phase.  (A single-key variant needs 39 bits; the older
-        # rec_id*2^16+dist key overflowed int32 past 32767 records.)
+        #   k1 = start << 8 | has_dist << 7 | (dist-1) >> 8   (24 + 8 bits)
+        #   k2 = start << 8 | (dist-1) & 255                  (24 + 8 bits)
+        # (dist spans [1, 32768] — 16 bits — so it packs as has + 15-bit
+        # dist-1).  Both keys are strictly increasing in start, so a
+        # running max carries the CONTAINING record's fields to every
+        # position.  This replaces the round-2 formulation's
+        # take_along_axis(dist_at_start, rec_start): scans cost ~0.4
+        # ns/element on this part but gathers ~7-11 (bench/probe_gather),
+        # so the gather dominated the whole pointer phase.  (A single-key
+        # variant needs 40 bits; the older rec_id*2^16+dist key overflowed
+        # int32 past 32767 records.)
         u32 = jnp.uint32
         s_abs = (WINDOW + start).astype(u32)
-        d_u = jnp.where(is_ref, dstT, 0).astype(u32)
-        k1 = jnp.where(advT > 0, (s_abs << 7) | (d_u >> 8), u32(0))
-        k2 = jnp.where(advT > 0, (s_abs << 8) | (d_u & 0xFF), u32(0))
+        has_d = is_ref & (advT > 0)
+        dm1 = jnp.maximum(jnp.where(is_ref, dstT, 0) - 1, 0).astype(u32)
+        k1 = jnp.where(
+            advT > 0,
+            (s_abs << 8) | (has_d.astype(u32) << 7) | (dm1 >> 8),
+            u32(0))
+        k2 = jnp.where(advT > 0, (s_abs << 8) | (dm1 & 0xFF), u32(0))
         # NOT sorted: empty records scatter to the drop slot (B*ext),
         # which interleaves out-of-order indices — a false sortedness
         # promise silently corrupts TPU scatters (see _pack_blocked).
@@ -553,8 +559,11 @@ def materialize(records, window, produced, out_capacity: int,
         # rec_start stays in posi coordinates (the keys pack WINDOW+start).
         # A zero key (no record seen yet) decodes to rec_start=0, dist=0 ->
         # not a copy, matching the legacy path's -1 sentinel semantics.
-        rec_start = (c1 >> 7).astype(i32)
-        pos_dist = (((c1 & 127) << 8) | (c2 & 0xFF)).astype(i32)
+        rec_start = (c1 >> 8).astype(i32)
+        pos_dist = jnp.where(
+            (c1 & 128) != 0,
+            ((((c1 & 127) << 8) | (c2 & 0xFF)) + 1).astype(i32),
+            0)
     else:
         # Legacy fill for outputs past 2^24: record id per position via
         # marks + cummax, dist gathered at the record start.
