@@ -413,3 +413,33 @@ class TestPackKernelV2:
         m = min(wr.shape[1], wk.shape[1])
         assert (wr[:, :m] == wk[:, :m]).all()
         assert not wr[:, m:].any() and not wk[:, m:].any()
+
+
+class TestAssignKernelSmoke:
+    def test_tiny_assign_and_combine_match_oracle(self):
+        """Fast-tier smoke for the round-3 kernels (pallas_assign + the
+        linear DMA combine): a broken kernel must not hide behind the
+        ``slow`` marker (full differentials: tests/test_pallas_assign.py).
+        """
+        import os
+
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.ops import ultrafast_kernel as UK
+
+        os.environ["FDN_ASSIGN_U"] = "4"
+        rng = np.random.default_rng(0)
+        d = rng.integers(0, 256, (1, 128)).astype(np.uint8)
+        d[0, 20:80] = 0
+        lengths = jnp.asarray(np.array([128], np.int32))
+        kw = dict(num_chunks=2, fixed_geometry=True, return_eof=True)
+        a = UK.encode_ultrafast_batch(
+            jnp.asarray(d), lengths, kernel_pack=False,
+            kernel_assign=False, **kw)
+        b = UK.encode_ultrafast_batch(
+            jnp.asarray(d), lengths, kernel_pack=True,
+            kernel_assign=True, **kw)
+        wa, wb = np.asarray(a[0]), np.asarray(b[0])
+        wc = min(wa.shape[1], wb.shape[1])
+        np.testing.assert_array_equal(wa[:, :wc], wb[:, :wc])
+        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
