@@ -178,9 +178,9 @@ def fetch_slabs(src_flat, blk, wl: int, dma_depth: int = 32):
                           dma_depth=dma_depth),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((lanes * wl,), jnp.int32),
         scratch_shapes=[pltpu.SemaphoreType.DMA((dma_depth,))],
     )
@@ -273,7 +273,7 @@ def linear_from_rows(rows, slab0, nslabs_total: int, H: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 8, LANE), lambda s: (s, 0, 0),
                                memory_space=pltpu.VMEM),

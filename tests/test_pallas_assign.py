@@ -111,6 +111,23 @@ def test_blocked_windows_match_oracle():
     np.testing.assert_array_equal(np.asarray(aa), np.asarray(ab))
 
 
+def test_density_sweep_batch():
+    """One batch, eight zero densities 0..1: rare run/tail shapes (long
+    tails at exactly 4/5, runs brushing cell and lane boundaries) appear
+    somewhere in the sweep without needing per-seed compiles."""
+    rng = np.random.default_rng(12)
+    B, N = 8, 2048
+    d = np.zeros((B, N), np.uint8)
+    for i, dens in enumerate([0.0, 0.3, 0.5, 0.8, 0.95, 0.99, 1.0, 0.9]):
+        row = rng.integers(1, 256, N).astype(np.uint8)
+        row[rng.random(N) < dens] = 0
+        d[i] = row
+    lengths = np.full(B, N, np.int32)
+    lengths[3] = 1544  # ragged, multiple of 8
+    lengths[6] = 777   # ragged, odd tail literals
+    _check(d, lengths, 4)
+
+
 def test_adaptive_runtime_tree_windows():
     from fdeflate_tpu.ops.adaptive import encode_adaptive_blocked
 
