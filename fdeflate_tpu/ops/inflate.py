@@ -825,15 +825,24 @@ def _jit_seq_pallas(LB: int, B: int, wwin: int, K: int):
 
     @jax.jit
     def run(words, start_w, pos0_b, meta_b, tab_b, out_pos, active):
+        from .repack import SLAB, stage_windows_flat
+
+        # Flatten per-stream rows with slab padding so each lane's window
+        # start is one flat word offset; the stager slab-DMAs on TPU
+        # (gathering wwin*B words per launch at ~7 ns/element dominated
+        # resumed launches).
         Wmax = words.shape[1]
-        idxw = jnp.minimum(
-            start_w[:, None] + jnp.arange(wwin, dtype=jnp.int32)[None, :],
-            Wmax - 1,
-        )
-        win_bn = jnp.take_along_axis(
-            words.astype(jnp.int32), idxw, axis=1)
-        win_bn = jnp.pad(win_bn, ((0, nlanes - B), (0, 0)))
-        win = jnp.transpose(win_bn.reshape(LB, 8, 128, wwin), (0, 3, 1, 2))
+        Wpad = (Wmax + SLAB - 1) // SLAB * SLAB
+        flat = jnp.concatenate([
+            jnp.pad(words.astype(jnp.int32),
+                    ((0, 0), (0, Wpad - Wmax))).reshape(-1),
+            jnp.zeros((wwin + 3 * SLAB,), jnp.int32),
+        ])
+        starts_flat = jnp.pad(
+            jnp.arange(B, dtype=jnp.int32) * Wpad
+            + jnp.minimum(start_w, Wmax - 1),
+            (0, nlanes - B))
+        win = stage_windows_flat(flat, starts_flat, LB, wwin)
         recs, bpos, done = PI.decode_records_blocked(
             win, pos0_b, meta_b, tab_b, K=K)
         recs_t = jnp.transpose(recs, (1, 0, 2, 3)).reshape(K, nlanes)[:, :B]

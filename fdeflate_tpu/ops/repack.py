@@ -187,6 +187,43 @@ def fetch_slabs(src_flat, blk, wl: int, dma_depth: int = 32):
     return f(blk, src_flat)
 
 
+def stage_windows_flat(flat_words, starts_flat, LB: int, wwin: int):
+    """Per-lane word windows from a flat word buffer at word offsets.
+
+    flat_words: i32[Wflat] — must have >= wwin + 2*SLAB words of slack
+      past the largest start (the caller pads).
+    starts_flat: i32[LB*1024] — each lane's first window word.
+
+    TPU: aligned slab DMA (fetch_slabs) + word-granular log-shift — the
+    jnp.take formulation costs ~7 ns/element (bench/probe_gather.py),
+    several times a record kernel's own cost per launch.  Elsewhere: the
+    take (oracle path).  Returns i32[LB, wwin, 8, 128].
+    """
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    Lp = LB * 1024
+    if jax.default_backend() != "tpu":
+        idx = jnp.minimum(
+            starts_flat[:, None] + jnp.arange(wwin, dtype=i32)[None, :],
+            flat_words.shape[0] - 1,
+        )
+        rows = jnp.take(flat_words, idx.reshape(-1), axis=0).reshape(
+            Lp, wwin)
+        return rows.reshape(LB, 8, LANE, wwin).transpose(0, 3, 1, 2)
+
+    wl = (wwin + 2 * SLAB) // SLAB * SLAB
+    blk = starts_flat >> 10
+    woff = starts_flat & (SLAB - 1)
+    rows = fetch_slabs(flat_words, blk, wl).reshape(Lp, wl)
+    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
+        shifted = jnp.concatenate(
+            [rows[:, k:], jnp.zeros((Lp, k), i32)], axis=1)
+        rows = jnp.where((woff & k)[:, None] != 0, shifted, rows)
+    return rows[:, :wwin].reshape(LB, 8, LANE, wwin).transpose(0, 3, 1, 2)
+
+
 def _combine_kernel(lo_ref, hi_ref, slab0_ref, rows_ref, out_ref, buf, sem,
                     *, H: int):
     """OR per-lane aligned row halves into one linear output slab.

@@ -879,41 +879,16 @@ def _jit_pallas_lanes(LB: int, L: int, wwin: int, K: int):
 
 
 def _stage_windows(words_d, starts_d, LB: int, wwin: int):
-    """Per-lane decode windows from flat stream words.
-
-    On TPU: aligned slab DMA (ops/repack.fetch_slabs) + a word-granular
-    log-shift — the jnp.take formulation this replaces materialized a
-    [LB, wwin, 8, 128] index tensor and gathered ~wwin*1024 words per
-    launch at ~7 ns/element (bench/probe_gather.py), several times the
-    record kernel's own cost.  Elsewhere: the take (oracle path).
-    """
-    import jax
+    """Per-lane decode windows from flat stream words (slab DMA on TPU;
+    see ops/repack.stage_windows_flat)."""
     import jax.numpy as jnp
 
-    from ..ops.repack import SLAB, fetch_slabs
+    from ..ops.repack import SLAB, stage_windows_flat
 
     i32 = jnp.int32
-    Lp = LB * 1024
-    starts_flat = starts_d.reshape(-1)
-    if jax.default_backend() != "tpu":
-        words_ext = jnp.concatenate([words_d, jnp.zeros((1,), i32)])
-        idx = jnp.minimum(
-            starts_d.reshape(LB, 1, 8, 128)
-            + jnp.arange(wwin, dtype=i32).reshape(1, wwin, 1, 1),
-            words_d.shape[0],
-        )
-        return jnp.take(words_ext, idx, axis=0)
-
-    wl = (wwin + 2 * SLAB) // SLAB * SLAB
-    flat = jnp.concatenate([words_d, jnp.zeros((wl + SLAB,), i32)])
-    blk = starts_flat >> 10
-    woff = starts_flat & (SLAB - 1)
-    rows = fetch_slabs(flat, blk, wl).reshape(Lp, wl)
-    for k in (512, 256, 128, 64, 32, 16, 8, 4, 2, 1):
-        shifted = jnp.concatenate(
-            [rows[:, k:], jnp.zeros((Lp, k), i32)], axis=1)
-        rows = jnp.where((woff & k)[:, None] != 0, shifted, rows)
-    return rows[:, :wwin].reshape(LB, 8, 128, wwin).transpose(0, 3, 1, 2)
+    flat = jnp.concatenate(
+        [words_d, jnp.zeros((wwin + 3 * SLAB,), i32)])
+    return stage_windows_flat(flat, starts_d.reshape(-1), LB, wwin)
 
 
 def stage_words(data: bytes):
