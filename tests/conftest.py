@@ -21,3 +21,15 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache: the fast tier's wall time is dominated by
+# XLA-CPU compiles of interpret-mode Pallas kernels (the single assign-
+# kernel smoke test costs ~60 s of compile alone).  Caching keyed on the
+# HLO hash makes repeat laps < 5 min without hiding kernel changes (any
+# edit produces a different hash and recompiles).
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("FDN_TEST_JAX_CACHE",
+                   os.path.join(os.path.dirname(__file__), ".jax_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
