@@ -40,7 +40,7 @@ from fdeflate_tpu.ops.pallas_assign import (
     assign_blocked_pallas,
     blocked_input,
 )
-from fdeflate_tpu.ops.adler32 import adler32_batch
+from fdeflate_tpu.ops.ultrafast_kernel import adler32_batch
 
 T0 = time.perf_counter()
 

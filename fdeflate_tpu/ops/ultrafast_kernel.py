@@ -286,7 +286,7 @@ def _frame_words(words, eof_pos):
 
     u32 = jnp.uint32
     B = words.shape[0]
-    hdr = jnp.asarray(_header_words(16))
+    hdr = jnp.asarray(_header_words(16)).astype(words.dtype)
     words = words.at[:, :16].add(hdr)  # header bits disjoint from payload
 
     eof_wi = eof_pos >> 5
