@@ -171,15 +171,6 @@ def bench_device(
     tiny = jax.device_put(jnp.arange(128, dtype=jnp.int32))
     floor_s = wall(jax.jit(lambda x: jnp.sum(x)), tiny)
 
-    # --- artifact spot check (small, once, untimed) ----------------------
-    ns, cs = 65536, 32
-    enc_small = jax.jit(zlib_encode_step(cs))
-    w_s, bits_s, ad_s, _, _ = enc_small(d[:1, :ns], jnp.full((1,), ns,
-                                                            jnp.int32))
-    stream = finalize_streams(np.asarray(w_s), np.asarray(bits_s),
-                              np.asarray(ad_s))[0]
-    artifact_ok = zlib.decompress(stream) == data[0, :ns].tobytes()
-
     # --- headline encode: linear standard-zlib words + chunk index -------
     enc = zlib_encode_step(chunks)
 
@@ -215,6 +206,16 @@ def bench_device(
     words, bits, adler, starts, eof = (
         jax.block_until_ready(x) for x in enc_j(d, lengths)
     )
+
+    # --- artifact spot check at the TIMED geometry (once, untimed) -------
+    # fixed_geometry splits runs at S-byte boundaries, so the emitted
+    # stream depends on C: checking a C=32/64 KiB artifact would not cover
+    # the bytes actually benched (VERDICT round 3, weak item 2).  This
+    # downloads ONE of the timed streams (~1.7 MB over the ~20 MB/s tunnel)
+    # and round-trips it through zlib.decompress.
+    stream = finalize_streams(np.asarray(words[:1]), np.asarray(bits[:1]),
+                              np.asarray(adler[:1]))[0]
+    artifact_ok = zlib.decompress(stream) == data[0].tobytes()
     # Window sized from the measured max chunk bits (rounded up a slab);
     # the decode verifies bpos + Adler, so undersizing is detected.
     max_bits = int(np.asarray(jnp.max(

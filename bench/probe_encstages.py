@@ -119,7 +119,8 @@ def main():
 
     def s3(d2, ln):
         # Everything except framing/adler: reproduce _encode_linear_assign
-        # through _pack_linear_words.
+        # through _pack_linear_words (near-chunk-relative pack + log
+        # word-shift + combine).
         from fdeflate_tpu.ops.pallas_assign import assign_tokens_blocked
 
         i32 = jnp.int32
@@ -128,14 +129,16 @@ def main():
         pos0 = UK.STREAM_HEADER_BITS + csum - chunk_bits
         W = (13 * N + UK.STREAM_HEADER_BITS + UK._EOF_BITS + 31) // 32 + 2
         orig = (pos0 >> 15) << 15
-        off = (pos0 - orig).reshape(-1)
+        off = pos0 - orig
+        subb = (off & 255).reshape(-1)
         L = B * C
         LB = -(-L // 1024)
         Lp = LB * 1024
         if Lp > L:
-            off = jnp.concatenate([off, jnp.zeros((Lp - L,), i32)])
-        offr = off.reshape(LB, 8, 128)[:, None]
-        words = UK._pack_linear_words(tok, relp + offr, npair, orig, B, W)
+            subb = jnp.concatenate([subb, jnp.zeros((Lp - L,), i32)])
+        subr = subb.reshape(LB, 8, 128)[:, None]
+        words = UK._pack_linear_words(tok, relp + subr, npair, orig,
+                                      (off >> 8) << 3, B, W)
         return fold(words, csum)
 
     def s4(d2, ln):

@@ -238,7 +238,7 @@ def _assign_tokens(data, lengths, lut_matmul: bool, split_S: int = 0,
 
 
 _PACK_S = 2048          # pack-lane chunk bytes (linear kernel-pack path)
-_PACK_WWIN = 2048       # slab-aligned window words per pack lane
+_PACK_WWIN = 896        # tight window words per pack lane (see below)
 
 
 def _linear_kernel_pack(v, nb, at_extra, cum, W: int):
@@ -247,11 +247,13 @@ def _linear_kernel_pack(v, nb, at_extra, cum, W: int):
     The XLA segment-sum scatter costs ~13 ns/element and dominates the
     whole linear encode (~197 of 260 ms at the bench geometry,
     bench/probe_encmarg.py).  This path reuses the blocked pack kernel for
-    the LINEAR layout: tokens pack at slab-relative bit offsets into
-    per-lane windows whose word 0 is a 1024-word output slab boundary, a
-    corner turn makes the windows lane-major rows, and a DMA combine
-    kernel (ops/repack.linear_from_rows) ORs the rows into the stream
-    words.  Bit-exact vs the scatter path (tests/test_linear_pack.py).
+    the LINEAR layout: tokens pack at NEAR-chunk-relative bit offsets
+    (chunk-relative plus the low 8 bits of the lane's in-slab offset — see
+    _pack_linear_words for why tight offsets matter), a corner turn makes
+    the windows lane-major rows, an XLA log word-shift aligns each row to
+    its 1024-word output slab, and a DMA combine kernel
+    (ops/repack.linear_from_rows) ORs the rows into the stream words.
+    Bit-exact vs the scatter path (tests/test_device_codec.py).
 
     Returns words i32[B, Wpad] (Wpad = W rounded up to 1024) with the
     payload bits placed; header and EOF are OR'd in by the caller.
@@ -259,25 +261,23 @@ def _linear_kernel_pack(v, nb, at_extra, cum, W: int):
     import jax
     import jax.numpy as jnp
 
-    from .pallas_pack import pack_blocked_pallas_v2, pack_tokens_v2
-    from .pallas_decode2 import corner_turn
-    from .repack import linear_from_rows
+    from .pallas_pack import pack_tokens_v2
 
     i32 = jnp.int32
     B, N = v.shape
     S = _PACK_S
     C = N // S
-    L = B * C
-    LB = -(-L // 1024)
-    Lp = LB * 1024
 
     pos_slot = STREAM_HEADER_BITS + cum - nb          # [B, N] token bits
     pos0 = pos_slot[:, ::S]                           # [B, C] lane starts
     orig = (pos0 >> 15) << 15                         # slab-aligned origins
-    rel = pos_slot - jnp.repeat(orig, S, axis=1)
+    off = pos0 - orig                                 # in-slab bit offsets
+    subb = off & 255                                  # folded into the pack
+    rel = pos_slot - jnp.repeat(pos0 - subb, S, axis=1)
 
     tokb, relpb, npairb = pack_tokens_v2(v, nb, rel, C)
-    return _pack_linear_words(tokb, relpb, npairb, orig, B, W)
+    return _pack_linear_words(tokb, relpb, npairb, orig, (off >> 8) << 3,
+                              B, W)
 
 
 def _frame_words(words, eof_pos):
@@ -327,13 +327,14 @@ def _encode_linear_assign(data, lengths, C: int, return_eof: bool):
     W = (13 * N + STREAM_HEADER_BITS + _EOF_BITS + 31) // 32 + 2
 
     orig = (pos0 >> 15) << 15
-    off = (pos0 - orig).reshape(-1)                 # in-slab bit offsets
+    off = pos0 - orig                               # [B, C] in-slab bits
+    subb = (off & 255).reshape(-1)                  # folded into the pack
     if Lp > L:
-        off = jnp.concatenate([off, jnp.zeros((Lp - L,), i32)])
-    offr = off.reshape(LB, 8, 128)[:, None]         # [LB, 1, 8, 128]
-    relp_lin = relp + offr
+        subb = jnp.concatenate([subb, jnp.zeros((Lp - L,), i32)])
+    subr = subb.reshape(LB, 8, 128)[:, None]        # [LB, 1, 8, 128]
 
-    words = _pack_linear_words(tok, relp_lin, npair, orig, B, W).astype(u32)
+    words = _pack_linear_words(tok, relp + subr, npair, orig,
+                               (off >> 8) << 3, B, W).astype(u32)
     words = _frame_words(words, eof_pos)
     adler = adler32_batch(data, lengths)
 
@@ -342,12 +343,22 @@ def _encode_linear_assign(data, lengths, C: int, return_eof: bool):
     return words, total_bits.astype(i32), adler, pos0
 
 
-def _pack_linear_words(tokb, relpb, npairb, orig, B: int, W: int):
-    """Shared tail of both kernel encode paths: pack kernel at
-    slab-relative offsets -> corner turn -> DMA OR-combine -> [B, Wpad].
+def _pack_linear_words(tokb, relpb, npairb, orig, woff8, B: int, W: int):
+    """Shared tail of both kernel encode paths: pack kernel at NEAR-chunk-
+    relative offsets -> corner turn -> XLA log word-shift -> DMA OR-combine.
 
-    ``relpb`` must already be slab-relative (pair bit offsets from each
-    lane's ``orig``, the slab-aligned bit origin i32[B, C])."""
+    ``relpb`` must be chunk-relative PLUS the low 8 bits of each lane's
+    in-slab offset; ``woff8`` i32[B, C] carries the remaining word shift
+    (multiples of 8 words, < 1024).  Feeding fully slab-relative offsets
+    to the pack kernel instead is 5x slower end-to-end: pack_bounds
+    computes per-word-group pair ranges as envelopes ACROSS the (8, 128)
+    lane block, and per-lane offsets spreading 0..1024 words widen every
+    group's scan to nearly all pairs (measured +20 ms at the bench
+    geometry, bench/probe_turncombine.py).  Folding only 255 bits keeps
+    the envelopes tight (+1 group) and the word-granular remainder costs
+    7 streaming select passes here.
+
+    Returns words i32[B, Wpad] (Wpad = W rounded up to 1024)."""
     import jax.numpy as jnp
 
     from .pallas_pack import pack_blocked_pallas_v2
@@ -359,9 +370,26 @@ def _pack_linear_words(tokb, relpb, npairb, orig, B: int, W: int):
     L = B * C
     LB = -(-L // 1024)
     Lp = LB * 1024
+    S = tokb.shape[1]
+    # Window: worst-case chunk payload (13 bits/byte) + the folded 255-bit
+    # offset, rounded up for corner_turn's T % 128 == 0; a lane's shifted
+    # payload then spans < 1023 + wpad words -> H output slabs.
+    wpad = (13 * S + 255) // 32 + 2
+    wpad += (-wpad) % 128
+    H = -(-(wpad + 1024) // 1024)
 
-    win = pack_blocked_pallas_v2(tokb, relpb, npairb, _PACK_WWIN)
-    rows = corner_turn(win).reshape(Lp, _PACK_WWIN)
+    win = pack_blocked_pallas_v2(tokb, relpb, npairb, wpad)
+    rows = corner_turn(win).reshape(Lp, wpad)
+    rows = jnp.concatenate(
+        [rows, jnp.zeros((Lp, H * 1024 - wpad), i32)], axis=1)
+
+    w8 = woff8.reshape(-1)
+    if Lp > L:
+        w8 = jnp.concatenate([w8, jnp.zeros((Lp - L,), i32)])
+    for k in (512, 256, 128, 64, 32, 16, 8):
+        shifted = jnp.concatenate(
+            [jnp.zeros((Lp, k), i32), rows[:, :-k]], axis=1)
+        rows = jnp.where((w8 & k)[:, None] != 0, shifted, rows)
 
     Wpad = W + (-W) % 1024
     nslabs = Wpad // 1024
@@ -371,7 +399,7 @@ def _pack_linear_words(tokb, relpb, npairb, orig, B: int, W: int):
         slab0 = jnp.concatenate(
             [slab0, jnp.full((Lp - L,), B * nslabs, i32)])
 
-    out = linear_from_rows(rows, slab0, B * nslabs, H=_PACK_WWIN // 1024)
+    out = linear_from_rows(rows, slab0, B * nslabs, H=H)
     return out.reshape(B, Wpad)
 
 

@@ -415,6 +415,48 @@ class TestPackKernelV2:
         assert not wr[:, m:].any() and not wk[:, m:].any()
 
 
+@pytest.mark.slow
+class TestLinearPackMultiSlab:
+    def test_kernel_linear_words_match_scatter_across_slabs(self):
+        """Linear kernel-pack path vs the XLA scatter oracle on a stream
+        whose payload spans SEVERAL 32768-bit output slabs.
+
+        The round-4 pack path is near-chunk-relative: only the low 8 bits
+        of each lane's in-slab offset fold into the pack kernel, and the
+        word-granular remainder is applied by the log word-shift in
+        _pack_linear_words.  Small-N tests never leave slab 0 (every orig
+        is 0), so the shift stage needs this differential: dense random
+        bytes at 16 KiB emit ~150k bits (~4.6 slabs), exercising all
+        woff8 bit patterns.
+        """
+        import jax.numpy as jnp
+
+        from fdeflate_tpu.ops import ultrafast_kernel as UK
+
+        rng = np.random.default_rng(42)
+        B, N = 2, 16384
+        d = rng.integers(0, 256, (B, N)).astype(np.uint8)
+        d[0, rng.random(N) < 0.3] = 0            # mixed runs + literals
+        d[1, 5000:5800] = 0                      # a long run mid-stream
+        lengths = jnp.asarray(np.array([N, N - 24], np.int32))
+        kw = dict(num_chunks=8, fixed_geometry=True, return_eof=True)
+        a = UK.encode_ultrafast_batch(
+            jnp.asarray(d), lengths, kernel_pack=False,
+            kernel_assign=False, **kw)
+        b = UK.encode_ultrafast_batch(
+            jnp.asarray(d), lengths, kernel_pack=True,
+            kernel_assign=False, **kw)
+        wa, wb = np.asarray(a[0]), np.asarray(b[0])
+        assert int(np.asarray(a[1]).max()) > 3 * 32768, \
+            "corpus must span several slabs for this test to bite"
+        wc = min(wa.shape[1], wb.shape[1])
+        np.testing.assert_array_equal(wa[:, :wc], wb[:, :wc])
+        assert not wa[:, wc:].any() and not wb[:, wc:].any()
+        for i in range(1, 5):
+            np.testing.assert_array_equal(np.asarray(a[i]),
+                                          np.asarray(b[i]))
+
+
 class TestAssignKernelSmoke:
     def test_tiny_assign_and_combine_match_oracle(self):
         """Fast-tier smoke for the round-3 kernels (pallas_assign + the
