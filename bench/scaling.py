@@ -107,6 +107,34 @@ def main():
         step_nc = make_step(mesh, chunks=chunks, collectives=False)
         t_nc, _ = timed(step_nc, data)
 
+        # Direct measurement of the step's entire cross-device traffic:
+        # ONE i32 psum+pmean under the same mesh.  Far more robust than
+        # subtracting two ~0.2 s saturated-host walls to find a us-scale
+        # collective; in-program reps amortize dispatch.
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        CR = 64
+
+        def coll_only(x):
+            def body(k, acc):
+                return acc + jax.lax.pmean(
+                    jax.lax.psum(x[0] + k + acc, "streams"), "seq")
+
+            return jax.lax.fori_loop(0, CR, body, jnp.int32(0))
+
+        coll = jax.jit(shard_map(
+            coll_only, mesh=mesh, in_specs=P("streams"), out_specs=P(),
+            check_rep=False))
+        xs = jnp.arange(nd, dtype=jnp.int32)
+        _ = int(np.asarray(coll(xs)))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            _ = int(np.asarray(coll(xs)))
+            ts.append(time.perf_counter() - t0)
+        t_coll = min(ts) / CR
+
         if base_time is None:
             base_time = t
         results[nd] = {
@@ -116,6 +144,8 @@ def main():
             "gbps": round(Bt * N / t / 1e9, 4),
             "weak_scaling_efficiency_wall": round(base_time / t, 3),
             "collective_overhead_efficiency": round(min(t_nc / t, 1.0), 3),
+            "collective_seconds": round(t_coll, 6),
+            "efficiency_from_collective_cost": round(t / (t + t_coll), 4),
             "collective_payload_bytes": 4,  # one psum+pmean i32 per step
         }
         print(json.dumps(results[nd]), flush=True)

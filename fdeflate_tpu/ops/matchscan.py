@@ -66,7 +66,11 @@ def find_matches(data, lengths, depth: int = 2, min_match: int = 4,
 
     i32 = jnp.int32
     B, N = data.shape
-    assert N < (1 << 20)
+    # Positions pack into the key's low 20 bits; N == 2^20 still fits
+    # (max index 2^20 - 1).  Sentinel keys for padding lanes can collide
+    # with hash-2047 keys near the top of the range, but candidates are
+    # only HINTS — the byte-verified extension rejects false ones.
+    assert N <= (1 << 20)
     d = data.astype(i32)
 
     # Unaligned 4-byte little-endian words at every byte offset.

@@ -111,12 +111,16 @@ def _bitrev12_np(x):
     return r
 
 
-def decode_chunk_np(words: np.ndarray, nbytes: int) -> tuple[np.ndarray, int]:
+def decode_chunk_np(words: np.ndarray, nbytes: int,
+                    lens=None) -> tuple[np.ndarray, int]:
     """Numpy oracle: decode one fixed-geometry chunk (bit 0 of ``words``).
 
+    ``lens``: optional code-length vector for a runtime <=12-bit tree
+    (e.g. ops/septree's kernel tree); None = trained PNG tree.
     Returns (bytes u8[nbytes], bits_consumed).  Raises on EOB or overrun.
     """
-    bounds, kvals, packed = canonical_meta()
+    bounds, kvals, packed = canonical_meta(
+        None if lens is None else tuple(int(x) for x in lens))
     out = np.zeros(nbytes, np.uint8)
     pos = 0
     opos = 0
@@ -288,7 +292,8 @@ def _kernel(win_ref, tab_ref, out_ref, bpos_ref, state, *,
 
 
 def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
-                  wwin: int, U: int, lane_major: bool, R: int = 1):
+                  wwin: int, U: int, lane_major: bool, R: int = 1,
+                  fast: bool = True):
     """Compile-light kernel body: identical semantics to ``_kernel``.
 
     Canonical-decode metadata (bounds/kvals) arrives as a runtime SMEM
@@ -323,6 +328,16 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
     symbol lookup) are merged across the R blocks so their loop bodies
     interleave too (bounds = union over blocks; the per-iteration loads are
     per-block but the R select chains stay independent).
+
+    ``fast`` (round 4): every dynamic-bound scan pays a cross-lane min/max
+    -> scalar sync, and those syncs are ~68% of the kernel
+    (bench/probe_ablate.py marginal re-measurement).  The fast path
+    removes five of the six: symbol lookups become STATIC two-level
+    sublane gathers (``tab_ref`` arrives as 18 (8, 128) tiles whose
+    sublanes hold 8 consecutive pair-words; one take_along_axis per tile
+    + a tile-select — no scan, no sync), and the two per-step refill
+    rounds merge into ONE bounded scan that fetches both replacement
+    words.  ``fast=False`` keeps the round-3 dynamic-scan body for A/B.
     """
     import jax
     import jax.numpy as jnp
@@ -338,6 +353,13 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
     def zeros():
         return jnp.zeros((8, LANE), i32)
 
+    if fast:
+        # Hoist the canonical-metadata rows out of the per-(r, sub) chains:
+        # the 12 bound rows + 12 kval rows are loop-invariant, and leaving
+        # the loads inline costs ~400 redundant VMEM row loads per step.
+        _bv = [None] + [meta_ref[l] for l in range(1, MAXL + 1)]
+        _kv = [None] + [meta_ref[16 + l] for l in range(1, MAXL + 1)]
+
     # The canonical metadata and the pair-packed symbol table arrive as
     # PRE-BROADCAST VMEM inputs (meta_ref i32[32, 8, 128]: row l = bounds[l],
     # row 16+l = kvals[l]; tab_ref i32[npairs, 8, 128]: row p = pair p).  A
@@ -351,10 +373,10 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
     # plain vector load; indexing per USE (not hoisting 26 row values to
     # kernel scope) keeps register pressure flat so R=8 doesn't spill.
     def bound_v(l):
-        return meta_ref[l]
+        return _bv[l] if fast else meta_ref[l]
 
     def kval_v(l):
-        return meta_ref[16 + l]
+        return _kv[l] if fast else meta_ref[16 + l]
 
     # Both lookups below are select-reduce scans with DYNAMIC bounds: a
     # scalar min/max over the lane blocks bounds the scan to the index range
@@ -394,6 +416,26 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
         ))
 
     def sym_lookup(idx):
+        if fast:
+            # Static two-level sublane gather: tile g's sublanes hold
+            # pair-words 8g..8g+7 (tab_ref is (18, 8, 128) in fast mode);
+            # one take_along_axis per tile + a tile select — no scan
+            # bound, no cross-lane sync.  fori_loop keeps the program
+            # compact (an unrolled 18x16xU body explodes compile time).
+            his = [idx[r] >> 4 for r in RR]
+            los = [(idx[r] >> 1) & 7 for r in RR]
+
+            def body(g, accs):
+                accs = list(accs)
+                for r in RR:
+                    cand = jnp.take_along_axis(tab_ref[g], los[r], axis=0)
+                    accs[r] = jnp.where(his[r] == g, cand, accs[r])
+                return tuple(accs)
+
+            accs = jax.lax.fori_loop(
+                0, 18, body, tuple(zeros() for _ in RR))
+            return [(accs[r] >> ((idx[r] & 1) * 16)) & 0x7FFF for r in RR]
+
         pidx = [ix >> 1 for ix in idx]
         m = jnp.max(pidx[0])
         for r in range(1, R):
@@ -412,6 +454,33 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
 
         accp = jax.lax.fori_loop(0, ghi, body, tuple(zeros() for _ in RR))
         return [(accp[r] >> ((idx[r] & 1) * 16)) & 0x7FFF for r in RR]
+
+    def words_at2(w3idx):
+        """Fetch words w3idx and w3idx+1 per lane in ONE bounded scan
+        (fast refill: one cross-lane sync per step instead of two)."""
+        glo_s, ghi_s = jnp.min(w3idx[0]), jnp.max(w3idx[0])
+        for r in range(1, R):
+            glo_s = jnp.minimum(glo_s, jnp.min(w3idx[r]))
+            ghi_s = jnp.maximum(ghi_s, jnp.max(w3idx[r]))
+        glo = jnp.minimum(glo_s >> 3, wwin // 8)
+        ghi = jnp.minimum(((ghi_s + 1) >> 3) + 1, wwin // 8)
+
+        def body(g, accs):
+            a3, a4 = list(accs[0]), list(accs[1])
+            w0 = g * 8
+            rel = [w3idx[r] - (zeros() + w0) for r in RR]
+            for j in range(8):
+                for r in RR:
+                    v = win_ref[r, w0 + j]
+                    a3[r] = jnp.where(rel[r] == j, v, a3[r])
+                    a4[r] = jnp.where(rel[r] == j - 1, v, a4[r])
+            return (tuple(a3), tuple(a4))
+
+        a3, a4 = jax.lax.fori_loop(
+            glo, ghi, body,
+            (tuple(zeros() for _ in RR), tuple(zeros() for _ in RR)),
+        )
+        return list(a3), list(a4)
 
     # state rows per block: 0 pos, 1 run_rem, 2 base, 3..7 w0..w4 (160 bits)
     @pl.when(sb == 0)
@@ -509,15 +578,32 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
                 out_ref[r, u] = word[r].astype(i32)
 
         # Refill: valid streams consume <= 62 bits/step -> <= 2 new words.
-        for _ in range(2):
-            need_f = [(pos[r] >> 5) > base[r] for r in RR]
+        if fast:
+            # Merged: advance by d in {0,1,2}, shift the ring by d, fetch
+            # both replacement words in ONE bounded scan (one sync/step).
+            d = [jnp.clip((pos[r] >> 5) - base[r], 0, 2) for r in RR]
             for r in RR:
-                for j in range(4):
-                    w[r][j] = jnp.where(need_f[r], w[r][j + 1], w[r][j])
-                base[r] = jnp.where(need_f[r], base[r] + 1, base[r])
-            neww = word_at([base[r] + 4 for r in RR])
+                for j in range(3):
+                    w[r][j] = jnp.where(
+                        d[r] == 1, w[r][j + 1],
+                        jnp.where(d[r] == 2, w[r][j + 2], w[r][j]))
+                w[r][3] = jnp.where(d[r] == 1, w[r][4], w[r][3])
+                base[r] = base[r] + d[r]
+            a3, a4 = words_at2([base[r] + 3 for r in RR])
             for r in RR:
-                w[r][4] = jnp.where(need_f[r], neww[r], w[r][4])
+                w[r][3] = jnp.where(d[r] == 2, a3[r], w[r][3])
+                w[r][4] = jnp.where(d[r] >= 1, a4[r], w[r][4])
+        else:
+            for _ in range(2):
+                need_f = [(pos[r] >> 5) > base[r] for r in RR]
+                for r in RR:
+                    for j in range(4):
+                        w[r][j] = jnp.where(need_f[r], w[r][j + 1],
+                                            w[r][j])
+                    base[r] = jnp.where(need_f[r], base[r] + 1, base[r])
+                neww = word_at([base[r] + 4 for r in RR])
+                for r in RR:
+                    w[r][4] = jnp.where(need_f[r], neww[r], w[r][4])
 
     for r in RR:
         state[r, 0] = pos[r]
@@ -532,9 +618,350 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
             bpos_ref[r] = state[r, 0]
 
 
+def sep_meta(lens=None):
+    """Metadata rows for the class-separated kernel (ops/septree).
+
+    Returns (meta i32[32], vals i32[64]):
+      meta: rows 0..MAXL bounds, 16..16+MAXL kvals, row 15 = n_lit (the
+        count of literal codes == the sorted index where the length class
+        starts; the sep tree property makes every idx < n_lit a literal
+        and idx - n_lit an affine symbol offset).
+      vals: literal byte values by sorted index, FOUR per int32.
+    """
+    from .septree import kernel_tree
+
+    if lens is None:
+        lens, _ = kernel_tree()
+    lens = np.asarray(lens, np.int64)
+    bounds, kvals, packed = canonical_meta(tuple(int(x) for x in lens))
+    n_lit = int(np.count_nonzero(lens[:256]))
+    assert (lens[256:] == MAXL).all() and (lens[:256] <= MAXL - 1).all(), \
+        "sep kernel needs the class-separated tree (ops/septree)"
+    meta = np.zeros(32, np.int32)
+    meta[: MAXL + 1] = bounds
+    meta[16 : 16 + MAXL + 1] = kvals
+    meta[15] = n_lit
+    vals64 = np.zeros(64, np.int64)
+    for i in range(n_lit):
+        e = int(packed[i])
+        assert (e >> 13) == _CLS_LIT
+        vals64[i >> 2] |= (e & 0xFF) << ((i & 3) * 8)
+    vals = vals64.astype(np.uint32).view(np.int32)
+    return meta, vals
+
+
+def _kernel_sep(win_ref, val_ref, meta_ref, out_ref, bpos_ref, state, *,
+                wwin: int, U: int, lane_major: bool, R: int):
+    """Class-separated decode kernel: table-free advance chain.
+
+    Same contract as ``_kernel_light`` but requires a sep tree
+    (ops/septree): code length 12 <=> length-symbol class, so the advance
+    chain (positions, run lengths, extra bits) is pure arithmetic —
+    cls = (L == 12), sym = 256 + (idx - n_lit), RFC 1951 closed forms for
+    base/extra.  Only literal VALUES remain a lookup, and they do not feed
+    the chain, so one step's <=4 of them merge into a single STATIC
+    8-group scan over the 4-packed value table.  Per step there is exactly
+    ONE dynamic-bound scan (the merged two-word refill) and therefore one
+    cross-lane min/max -> scalar sync — the v2 kernel pays six, and those
+    syncs are ~68% of its time (bench/probe_ablate.py, round-4 marginal).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    i32 = jnp.int32
+    u32 = jnp.uint32
+    sb = pl.program_id(1)
+    num_sb = pl.num_programs(1)
+    RR = range(R)
+
+    def zeros():
+        return jnp.zeros((8, LANE), i32)
+
+    # NOTE: hoisting these rows to kernel scope was measured SLOWER here
+    # (3.12 -> 2.58 GB/s): 25 extra live vregs spill the sep step's larger
+    # working set.  _kernel_light keeps the hoist (+2%); this kernel loads
+    # per use.
+    def bound_v(l):
+        return meta_ref[l]
+
+    def kval_v(l):
+        return meta_ref[16 + l]
+
+    def words_at2(w3idx):
+        """Fetch words w3idx and w3idx+1 per lane in ONE bounded scan."""
+        glo_s, ghi_s = jnp.min(w3idx[0]), jnp.max(w3idx[0])
+        for r in range(1, R):
+            glo_s = jnp.minimum(glo_s, jnp.min(w3idx[r]))
+            ghi_s = jnp.maximum(ghi_s, jnp.max(w3idx[r]))
+        glo = jnp.minimum(glo_s >> 3, wwin // 8)
+        ghi = jnp.minimum(((ghi_s + 1) >> 3) + 1, wwin // 8)
+
+        def body(g, accs):
+            a3, a4 = list(accs[0]), list(accs[1])
+            w0 = g * 8
+            rel = [w3idx[r] - (zeros() + w0) for r in RR]
+            for j in range(8):
+                for r in RR:
+                    v = win_ref[r, w0 + j]
+                    a3[r] = jnp.where(rel[r] == j, v, a3[r])
+                    a4[r] = jnp.where(rel[r] == j - 1, v, a4[r])
+            return (tuple(a3), tuple(a4))
+
+        a3, a4 = jax.lax.fori_loop(
+            glo, ghi, body,
+            (tuple(zeros() for _ in RR), tuple(zeros() for _ in RR)),
+        )
+        return list(a3), list(a4)
+
+    def val_lookup(qidx):
+        """Literal-value lookup via SUBLANE GATHER: the 64 4-packed value
+        words live in 8 (8, 128) tiles (val_ref[g][s, :] = word g*8+s);
+        per tile one take_along_axis picks sublane qidx&7 per lane
+        position and a compare on qidx>>3 selects the right tile.  ~24
+        static ops, no scan, no cross-lane sync (round-1 probe: [8,128]
+        axis-0 take_along_axis lowers correctly on Mosaic)."""
+        hi = qidx >> 3
+        lo = qidx & 7
+
+        def body(g, acc):
+            cand = jnp.take_along_axis(val_ref[g], lo, axis=0)
+            return jnp.where(hi == g, cand, acc)
+
+        return jax.lax.fori_loop(0, 8, body, zeros())
+
+    # state rows per block: 0 pos, 1 run_rem, 2 base, 3..7 w0..w4
+    @pl.when(sb == 0)
+    def _init():
+        for r in RR:
+            state[r, 0] = zeros()
+            state[r, 1] = zeros()
+            state[r, 2] = zeros()
+            for j in range(5):
+                state[r, 3 + j] = win_ref[r, j]
+
+    pos = [state[r, 0] for r in RR]
+    run_rem = [state[r, 1] for r in RR]
+    base = [state[r, 2] for r in RR]
+    w = [[state[r, 3 + j] for j in range(5)] for r in RR]
+
+    def bitrev12(x):
+        x = ((x & 0x5555) << 1) | ((x >> 1) & 0x5555)
+        x = ((x & 0x3333) << 2) | ((x >> 2) & 0x3333)
+        x = ((x & 0x0F0F) << 4) | ((x >> 4) & 0x0F0F)
+        x = ((x & 0x00FF) << 8) | ((x >> 8) & 0x00FF)
+        return x >> 4
+
+    def peek32(r, pos_off_r, o):
+        oo = pos_off_r + o
+        wsel = oo >> 5
+        a = w[r][3]
+        b = w[r][4]
+        for j in (2, 1, 0):
+            a = jnp.where(wsel == j, w[r][j], a)
+            b = jnp.where(wsel == j, w[r][j + 1], b)
+        a = a.astype(u32)
+        b = b.astype(u32)
+        sh = (oo & 31).astype(u32)
+        return (a >> sh) | jnp.where(
+            sh == 0, u32(0), b << ((32 - (oo & 31)).astype(u32) & 31)
+        )
+
+    for u in range(U):
+        pos_off = [pos[r] - (base[r] << 5) for r in RR]
+
+        consumed = [zeros() for _ in RR]
+        filled = [zeros() for _ in RR]
+        word = [zeros().astype(u32) for _ in RR]
+        for _s4 in range(4):
+            for r in RR:
+                space = 4 - filled[r]
+                take = jnp.minimum(run_rem[r], space)
+                filled[r] = filled[r] + take
+                run_rem[r] = run_rem[r] - take
+                need = (filled[r] < 4) & (run_rem[r] == 0)
+
+                bits = peek32(r, pos_off[r], consumed[r])
+                r12 = bitrev12((bits & 0xFFF).astype(i32))
+                L = jnp.ones((8, LANE), i32)
+                for l in range(1, MAXL):
+                    L = L + (r12 >= bound_v(l)).astype(i32)
+                Kv = zeros() + kval_v(MAXL)
+                for l in range(1, MAXL):
+                    Kv = jnp.where(L == l, kval_v(l), Kv)
+                idx = Kv + (r12 >> (MAXL - L))
+
+                is12 = need & (L == MAXL)
+                off = idx - meta_ref[15]
+                sp = off - 1
+                e = jnp.where(sp < 4, 0, (sp >> 2) - 1)
+                e = jnp.where(sp == 28, 0, e)
+                bse = jnp.where(sp < 4, sp + 3,
+                                ((4 + (sp & 3)) << e) + 3)
+                bse = jnp.where(sp == 28, 258, bse)
+                run_val = bse + ((bits >> L.astype(u32)).astype(i32)
+                                 & ((1 << e) - 1))
+
+                is_run = is12 & (off > 0)
+                is_lit = need & ~is12
+                vw = val_lookup(idx >> 2)
+                byte = (vw >> ((idx & 3) * 8)) & 0xFF
+                word[r] = word[r] | jnp.where(
+                    is_lit,
+                    byte.astype(u32) << (filled[r] * 8).astype(u32),
+                    u32(0))
+                filled[r] = filled[r] + is_lit.astype(i32)
+                run_rem[r] = jnp.where(is_run, run_val, run_rem[r])
+                consumed[r] = consumed[r] + jnp.where(
+                    is_lit, L,
+                    jnp.where(is_run, L + e + 1,
+                              jnp.where(is12, L, 0)))
+
+        for r in RR:
+            take = jnp.minimum(run_rem[r], 4 - filled[r])
+            filled[r] = filled[r] + take
+            run_rem[r] = run_rem[r] - take
+
+            pos[r] = pos[r] + consumed[r]
+            if lane_major:
+                out_ref[r, :, :, u] = word[r].astype(i32)
+            else:
+                out_ref[r, u] = word[r].astype(i32)
+
+        # Merged refill: <= 54 bits consumed -> base advances by d in
+        # {0, 1, 2}; shift the register ring by d and fetch the <= 2 new
+        # words in ONE bounded scan (one cross-lane sync per step).
+        d = [jnp.clip((pos[r] >> 5) - base[r], 0, 2) for r in RR]
+        for r in RR:
+            for j in range(3):
+                w[r][j] = jnp.where(
+                    d[r] == 1, w[r][j + 1],
+                    jnp.where(d[r] == 2, w[r][j + 2], w[r][j]))
+            w[r][3] = jnp.where(d[r] == 1, w[r][4], w[r][3])
+            base[r] = base[r] + d[r]
+        a3, a4 = words_at2([base[r] + 3 for r in RR])
+        for r in RR:
+            w[r][3] = jnp.where(d[r] == 2, a3[r], w[r][3])
+            w[r][4] = jnp.where(d[r] >= 1, a4[r], w[r][4])
+
+    for r in RR:
+        state[r, 0] = pos[r]
+        state[r, 1] = run_rem[r]
+        state[r, 2] = base[r]
+        for j in range(5):
+            state[r, 3 + j] = w[r][j]
+
+    @pl.when(sb == num_sb - 1)
+    def _finish():
+        for r in RR:
+            bpos_ref[r] = state[r, 0]
+
+
+def decode_blocked_sep(win, T: int, U: int = 32,
+                       interpret: bool | None = None,
+                       lane_major: bool | None = None,
+                       tables=None, R: int | None = None):
+    """Decode fixed-geometry lane-blocked SEP-TREE streams.
+
+    Drop-in sibling of ``decode_blocked`` for streams encoded with the
+    class-separated tree (ops/septree; pass ``tree=sep_profile()`` to the
+    encoder).  ``tables``: optional (meta i32[32], vals i32[64]) from
+    ``sep_meta`` for a runtime sep tree; None selects the canonical
+    kernel-tree profile.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if lane_major is None:
+        lane_major = U % 128 == 0
+
+    LB, wwin, _, _ = win.shape
+    assert T % U == 0
+    SB = T // U
+
+    if wwin % 8 != 0:
+        pad = 8 - wwin % 8
+        win = jnp.pad(win, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        wwin += pad
+
+    blk_bytes = (wwin + U) * 8 * LANE * 4
+    if R is None:
+        R = 1
+        for cand in (2, 4, 8):
+            if LB % cand == 0 and cand * blk_bytes <= 30 << 20:
+                R = cand
+    if R > 1 and LB % R != 0:
+        pad_lb = (-LB) % R
+        win = jnp.pad(win, ((0, pad_lb), (0, 0), (0, 0), (0, 0)))
+        out, bpos = decode_blocked_sep(
+            win, T, U=U, interpret=interpret, lane_major=lane_major,
+            tables=tables, R=R)
+        return out[:LB], bpos[:LB]
+
+    # Value tiles for the sublane-gather lookup: val_arg[g][s, :] holds
+    # 4-packed value word g*8+s (broadcast across lanes).
+    if tables is None:
+        meta_np, vals_np = sep_meta()
+        meta_arg = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(meta_np[:, None, None], (32, 8, LANE))))
+        val_arg = jnp.asarray(np.ascontiguousarray(
+            np.broadcast_to(vals_np.reshape(8, 8)[:, :, None],
+                            (8, 8, LANE))))
+    else:
+        meta_in, vals_in = tables
+        meta_arg = jnp.broadcast_to(meta_in.reshape(32, 1, 1), (32, 8, LANE))
+        val_arg = jnp.broadcast_to(vals_in.reshape(8, 8, 1), (8, 8, LANE))
+
+    kern = functools.partial(
+        _kernel_sep, wwin=wwin, U=U, lane_major=lane_major, R=R)
+    if lane_major:
+        out_spec = pl.BlockSpec((R, 8, LANE, U), lambda lb, sb: (lb, 0, 0, sb),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((LB, 8, LANE, T), jnp.int32)
+    else:
+        out_spec = pl.BlockSpec((R, U, 8, LANE), lambda lb, sb: (lb, sb, 0, 0),
+                                memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((LB, T, 8, LANE), jnp.int32)
+    f = pl.pallas_call(
+        kern,
+        grid=(LB // R, SB),
+        in_specs=[
+            pl.BlockSpec((R, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, 8, LANE), lambda lb, sb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((32, 8, LANE), lambda lb, sb: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            out_spec,
+            pl.BlockSpec((R, 8, LANE), lambda lb, sb: (lb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            out_shape,
+            jax.ShapeDtypeStruct((LB, 8, LANE), jnp.int32),
+        ],
+        scratch_shapes=[pltpu.VMEM((R, 8, 8, LANE), jnp.int32)],
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(os.environ.get(
+                "FDN_DEC_VMEM",
+                min(120 << 20, max(32 << 20, 2 * R * blk_bytes + (4 << 20))),
+            ))),
+    )
+    out, bpos = f(win, val_arg, meta_arg)
+    return out, bpos
+
+
 def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
                    lane_major: bool | None = None, light: bool = True,
-                   tables=None, R: int | None = None):
+                   tables=None, R: int | None = None,
+                   fast: bool | None = None):
     """Decode fixed-geometry lane-blocked streams.
 
     Args:
@@ -561,6 +988,9 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         working set is measured-good on TPU v5e: R=8 at S=2048 runs and
         beats R=1 by 1.4x).
 
+      fast: sync-free lookups + merged refill (see _kernel_light); None
+        -> True for the light kernel.  A/B switch for the round-3 body.
+
     Returns (out, bpos i32[LB, 8, 128]) — bpos is each lane's final bit
     position (== the encoder's chunk_bits when the decode is exact).
     """
@@ -573,6 +1003,8 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         interpret = jax.default_backend() != "tpu"
     if lane_major is None:
         lane_major = U % 128 == 0
+    if fast is None:
+        fast = light
 
     LB, wwin, _, _ = win.shape
     assert T % U == 0
@@ -601,12 +1033,13 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         win = jnp.pad(win, ((0, pad_lb), (0, 0), (0, 0), (0, 0)))
         out, bpos = decode_blocked(
             win, T, U=U, interpret=interpret, lane_major=lane_major,
-            light=light, tables=tables, R=R)
+            light=light, tables=tables, R=R, fast=fast)
         return out[:LB], bpos[:LB]
 
     if light:
         kern = functools.partial(
             _kernel_light, wwin=wwin, U=U, lane_major=lane_major, R=R,
+            fast=fast,
         )
     else:
         assert tables is None, "runtime tables need the light kernel"
@@ -636,23 +1069,37 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
         if tables is None:
             p64 = packed.astype(np.int64)
             tab = (p64[0::2] | (p64[1::2] << 16)).astype(np.int32)
-            tab_arg = jnp.asarray(np.ascontiguousarray(
-                np.broadcast_to(tab[:, None, None], (npairs, 8, LANE))))
             meta_np = np.zeros(32, np.int32)
             meta_np[: MAXL + 1] = bounds
             meta_np[16 : 16 + MAXL + 1] = kvals
             meta_arg = jnp.asarray(np.ascontiguousarray(
                 np.broadcast_to(meta_np[:, None, None], (32, 8, LANE))))
+            if fast:
+                # Tile layout for the sublane-gather lookup: tile g's
+                # sublanes hold pair-words 8g..8g+7.
+                tab_arg = jnp.asarray(np.ascontiguousarray(
+                    np.broadcast_to(tab[:144].reshape(18, 8)[:, :, None],
+                                    (18, 8, LANE))))
+            else:
+                tab_arg = jnp.asarray(np.ascontiguousarray(
+                    np.broadcast_to(tab[:, None, None],
+                                    (npairs, 8, LANE))))
         else:
             meta_in, tab_in = tables
             meta_arg = jnp.broadcast_to(
                 meta_in.reshape(32, 1, 1), (32, 8, LANE))
-            tab_arg = jnp.broadcast_to(
-                tab_in.reshape(npairs, 1, 1), (npairs, 8, LANE))
+            if fast:
+                tab_arg = jnp.broadcast_to(
+                    tab_in.reshape(-1)[:144].reshape(18, 8, 1),
+                    (18, 8, LANE))
+            else:
+                tab_arg = jnp.broadcast_to(
+                    tab_in.reshape(npairs, 1, 1), (npairs, 8, LANE))
+        tab_rows = 18 if fast else npairs
         in_specs = [
             pl.BlockSpec((R, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((npairs, 8, LANE), lambda lb, sb: (0, 0, 0),
+            pl.BlockSpec((tab_rows, 8, LANE), lambda lb, sb: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((32, 8, LANE), lambda lb, sb: (0, 0, 0),
                          memory_space=pltpu.VMEM),

@@ -241,7 +241,8 @@ _PACK_S = 2048          # pack-lane chunk bytes (linear kernel-pack path)
 _PACK_WWIN = 896        # tight window words per pack lane (see below)
 
 
-def _linear_kernel_pack(v, nb, at_extra, cum, W: int):
+def _linear_kernel_pack(v, nb, at_extra, cum, W: int,
+                        hb: int = STREAM_HEADER_BITS):
     """Token bits -> linear stream words through the Pallas pack kernel.
 
     The XLA segment-sum scatter costs ~13 ns/element and dominates the
@@ -268,7 +269,7 @@ def _linear_kernel_pack(v, nb, at_extra, cum, W: int):
     S = _PACK_S
     C = N // S
 
-    pos_slot = STREAM_HEADER_BITS + cum - nb          # [B, N] token bits
+    pos_slot = hb + cum - nb                          # [B, N] token bits
     pos0 = pos_slot[:, ::S]                           # [B, C] lane starts
     orig = (pos0 >> 15) << 15                         # slab-aligned origins
     off = pos0 - orig                                 # in-slab bit offsets
@@ -280,19 +281,28 @@ def _linear_kernel_pack(v, nb, at_extra, cum, W: int):
                               B, W)
 
 
-def _frame_words(words, eof_pos):
-    """OR in the constant zlib+dynamic-block header and the EOF token."""
+def _frame_words(words, eof_pos, tree=None):
+    """OR in the canned zlib+dynamic-block header and the EOF token.
+
+    ``tree``: optional ops/septree.TreeProfile — its own canned header and
+    EOB code replace the trained-tree constants."""
     import jax.numpy as jnp
 
     u32 = jnp.uint32
     B = words.shape[0]
-    hdr = jnp.asarray(_header_words(16)).astype(words.dtype)
-    words = words.at[:, :16].add(hdr)  # header bits disjoint from payload
+    if tree is None:
+        hdr_np, eof_code = _header_words(16), _EOF_CODE
+    else:
+        nh = (tree.header_bits + 31) // 32 + 1
+        hdr_np, eof_code = tree.header_words(nh), tree.eof_code
+    hdr = jnp.asarray(hdr_np).astype(words.dtype)
+    nh = hdr.shape[0]
+    words = words.at[:, :nh].add(hdr)  # header bits disjoint from payload
 
     eof_wi = eof_pos >> 5
     eof_sh = (eof_pos & 31).astype(u32)
-    eof_lo = (jnp.uint32(_EOF_CODE) << eof_sh).astype(u32)
-    eof_hi = ((jnp.uint32(_EOF_CODE) >> 1)
+    eof_lo = (jnp.uint32(eof_code) << eof_sh).astype(u32)
+    eof_hi = ((jnp.uint32(eof_code) >> 1)
               >> (31 - eof_sh).astype(u32)).astype(u32)
     rows = jnp.arange(B)
     words = words.at[rows, eof_wi].add(eof_lo)
@@ -300,13 +310,17 @@ def _frame_words(words, eof_pos):
     return words
 
 
-def _encode_linear_assign(data, lengths, C: int, return_eof: bool):
+def _encode_linear_assign(data, lengths, C: int, return_eof: bool,
+                          tree=None):
     """Whole-kernel linear encode: assign kernel -> pack kernel -> combine.
 
     The XLA _assign_tokens chain (one-hot-matmul literal lookup +
     segmentation scans, ~63 ms / 16 MiB on hardware) is replaced by
     ops/pallas_assign; everything that remains in XLA is O(B*C) index math
     plus the framing adds and the Adler reduction.
+
+    ``tree``: optional ops/septree.TreeProfile (runtime code tables +
+    its own canned header); None keeps the trained-tree constants.
     """
     import jax.numpy as jnp
 
@@ -318,13 +332,17 @@ def _encode_linear_assign(data, lengths, C: int, return_eof: bool):
     L = B * C
     LB = -(-L // 1024)
     Lp = LB * 1024
+    HB = STREAM_HEADER_BITS if tree is None else tree.header_bits
+    EB = _EOF_BITS if tree is None else tree.eof_bits
+    rt = None if tree is None else tree.rt_arrays()
 
-    tok, relp, npair, chunk_bits = assign_tokens_blocked(data, lengths, C)
+    tok, relp, npair, chunk_bits = assign_tokens_blocked(data, lengths, C,
+                                                         rt=rt)
     csum = jnp.cumsum(chunk_bits, axis=1)
-    pos0 = STREAM_HEADER_BITS + csum - chunk_bits   # [B, C] lane start bits
-    eof_pos = STREAM_HEADER_BITS + csum[:, -1]
-    total_bits = ((eof_pos + _EOF_BITS + 7) // 8) * 8
-    W = (13 * N + STREAM_HEADER_BITS + _EOF_BITS + 31) // 32 + 2
+    pos0 = HB + csum - chunk_bits                   # [B, C] lane start bits
+    eof_pos = HB + csum[:, -1]
+    total_bits = ((eof_pos + EB + 7) // 8) * 8
+    W = (13 * N + HB + EB + 31) // 32 + 2
 
     orig = (pos0 >> 15) << 15
     off = pos0 - orig                               # [B, C] in-slab bits
@@ -335,7 +353,7 @@ def _encode_linear_assign(data, lengths, C: int, return_eof: bool):
 
     words = _pack_linear_words(tok, relp + subr, npair, orig,
                                (off >> 8) << 3, B, W).astype(u32)
-    words = _frame_words(words, eof_pos)
+    words = _frame_words(words, eof_pos, tree)
     adler = adler32_batch(data, lengths)
 
     if return_eof:
@@ -407,6 +425,7 @@ def encode_ultrafast_batch(
     data, lengths, lut_matmul: bool | None = None, num_chunks: int = 0,
     fixed_geometry: bool = False, return_eof: bool = False,
     kernel_pack: bool | None = None, kernel_assign: bool | None = None,
+    tree=None,
 ):
     """Encode ``B`` streams of padded length ``N``.
 
@@ -429,6 +448,10 @@ def encode_ultrafast_batch(
         the bit position of the EOF token (== end of the last chunk's
         payload; the repack->decode verification needs it because
         total_bits includes the EOF token and byte padding).
+      tree: optional ops/septree.TreeProfile — encode with a runtime
+        <=12-bit tree and its own canned header instead of the trained
+        constants (the class-separated throughput profile).  Streams stay
+        plain standard zlib either way.
 
     Returns:
       words:  uint32[B, W] — the complete zlib streams except the trailing
@@ -454,25 +477,31 @@ def encode_ultrafast_batch(
     if (kernel_assign and fixed_geometry and num_chunks
             and N % num_chunks == 0
             and (N // num_chunks) % 32 == 0):
-        return _encode_linear_assign(data, lengths, num_chunks, return_eof)
+        return _encode_linear_assign(data, lengths, num_chunks, return_eof,
+                                     tree=tree)
+    HB = STREAM_HEADER_BITS if tree is None else tree.header_bits
+    EB = _EOF_BITS if tree is None else tree.eof_bits
     split_S = N // num_chunks if (fixed_geometry and num_chunks) else 0
-    v, nb, at_extra, aligned = _assign_tokens(data, lengths, lut_matmul, split_S)
+    v, nb, at_extra, aligned = _assign_tokens(
+        data, lengths, lut_matmul, split_S,
+        rt=None if tree is None else tree.rt_dict())
     idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
 
     # ---- bit packing -----------------------------------------------------
     cum = jnp.cumsum(nb, axis=1)
-    payload_end = STREAM_HEADER_BITS + cum[:, -1]
+    payload_end = HB + cum[:, -1]
 
     # EOF token, then pad to a byte boundary.
     eof_pos = payload_end
-    total_bits = ((eof_pos + _EOF_BITS + 7) // 8) * 8
+    total_bits = ((eof_pos + EB + 7) // 8) * 8
 
     # u32 words per stream: every byte emits at most one token of <= 13 bits
     # (literal <= 12; the 258-run token is 13), plus header/EOF/slack.
-    W = (13 * N + STREAM_HEADER_BITS + _EOF_BITS + 31) // 32 + 2
+    W = (13 * N + HB + EB + 31) // 32 + 2
 
     if kernel_pack and N % _PACK_S == 0:
-        words = _linear_kernel_pack(v, nb, at_extra, cum, W).astype(u32)
+        words = _linear_kernel_pack(v, nb, at_extra, cum, W,
+                                    hb=HB).astype(u32)
         W = words.shape[1]
     else:
         # Pair-combine adjacent tokens before scattering: two <=13-bit
@@ -484,7 +513,7 @@ def encode_ultrafast_batch(
         n1 = nb[:, 1::2]
         vp = (v0 | (v1 << n0.astype(u32))).astype(u32)
         npair = n0 + n1
-        positions = STREAM_HEADER_BITS + cum[:, 1::2] - npair  # pair starts
+        positions = HB + cum[:, 1::2] - npair  # pair starts
 
         wi = positions >> 5
         sh = (positions & 31).astype(u32)
@@ -517,7 +546,7 @@ def encode_ultrafast_batch(
         )
         words = words.reshape(B, W).astype(u32)
 
-    words = _frame_words(words, eof_pos)
+    words = _frame_words(words, eof_pos, tree)
     adler = adler32_batch(data, lengths)
 
     if num_chunks:
@@ -526,14 +555,14 @@ def encode_ultrafast_batch(
         # is the extra-bits half of a run-tail (at_extra); empty tokens
         # inherit the next symbol start via a suffix-min.  The final EOF
         # position is the fallback for chunks past the last symbol.
-        tok_pos = STREAM_HEADER_BITS + cum - nb  # [B, N] token start bits
+        tok_pos = HB + cum - nb  # [B, N] token start bits
         sym_start = (nb > 0) & ~at_extra
         masked = jnp.where(sym_start, tok_pos, eof_pos[:, None])
         suffix_min = jax.lax.cummin(masked[:, ::-1], axis=1)[:, ::-1]
         step = N // num_chunks
         sample = jnp.arange(num_chunks, dtype=i32) * step
         chunk_starts = suffix_min[:, sample]
-        chunk_starts = chunk_starts.at[:, 0].set(STREAM_HEADER_BITS)
+        chunk_starts = chunk_starts.at[:, 0].set(HB)
         if return_eof:
             return words, total_bits.astype(i32), adler, chunk_starts, eof_pos
         return words, total_bits.astype(i32), adler, chunk_starts

@@ -343,7 +343,7 @@ def fused_ultrafast_roundtrip_v2(C: int, N: int, U: int = 32,
     return step
 
 
-def zlib_encode_step(C: int):
+def zlib_encode_step(C: int, tree=None):
     """Headline encode leg: linear (framed, standard-zlib) words + index.
 
     fn(data u8[B, N], lengths i32[B]) -> (words u32[B, W], total_bits i32[B],
@@ -351,19 +351,24 @@ def zlib_encode_step(C: int):
     ``total_bits`` + ``adler`` assemble into byte streams any zlib inflater
     accepts (ops/ultrafast_kernel.finalize_streams); the chunk index and
     eof position are sidecar metadata for the chunk-parallel decode leg.
+
+    ``tree``: optional ops/septree.TreeProfile — encode with the
+    class-separated throughput tree (its streams decode through the
+    sync-free sep kernel); None keeps the trained tree.
     """
     from ..ops.ultrafast_kernel import encode_ultrafast_batch
 
     def step(data, lengths):
         return encode_ultrafast_batch(
-            data, lengths, num_chunks=C, fixed_geometry=True, return_eof=True
+            data, lengths, num_chunks=C, fixed_geometry=True,
+            return_eof=True, tree=tree
         )
 
     return step
 
 
 def zlib_decode_step(C: int, N: int, wwin: int, U: int = 32,
-                     R: int | None = None):
+                     R: int | None = None, tree=None):
     """Decode leg over STANDARD zlib artifacts: repack -> v2 kernel -> verify.
 
     The input is the linear framed stream exactly as the encode leg emits
@@ -380,7 +385,11 @@ def zlib_decode_step(C: int, N: int, wwin: int, U: int = 32,
     """
     import jax.numpy as jnp
 
-    from ..ops.pallas_decode2 import adler_step_major, decode_blocked
+    from ..ops.pallas_decode2 import (
+        adler_step_major,
+        decode_blocked,
+        decode_blocked_sep,
+    )
     from ..ops.repack import stage_blocked_from_linear
 
     assert N % C == 0
@@ -390,7 +399,12 @@ def zlib_decode_step(C: int, N: int, wwin: int, U: int = 32,
     def step(words, chunk_starts, eof_pos, adler, lengths):
         B = words.shape[0]
         win = stage_blocked_from_linear(words, chunk_starts, C, wwin)
-        out_sm, bpos = decode_blocked(win, T=T, U=U, lane_major=False, R=R)
+        if tree is None:
+            out_sm, bpos = decode_blocked(win, T=T, U=U, lane_major=False,
+                                          R=R)
+        else:
+            out_sm, bpos = decode_blocked_sep(win, T=T, U=U,
+                                              lane_major=False, R=R)
         L = B * C
         bp = bpos.reshape(-1)[:L].reshape(B, C)
         expected = (
@@ -408,17 +422,18 @@ def zlib_decode_step(C: int, N: int, wwin: int, U: int = 32,
 
 
 def fused_zlib_roundtrip(C: int, N: int, wwin: int, U: int = 32,
-                         R: int | None = None):
+                         R: int | None = None, tree=None):
     """One-program roundtrip through a STANDARD zlib artifact.
 
     encode (linear framed words) -> DMA repack -> v2 canonical decode ->
     bpos + Adler verify; scalars-only readback.  Unlike
     fused_ultrafast_roundtrip_v2, the byte stream between the two legs is
     a valid zlib stream (the bench spot-checks it with zlib.decompress).
+    ``tree``: optional sep-tree throughput profile (see zlib_encode_step).
     """
 
-    enc = zlib_encode_step(C)
-    dec = zlib_decode_step(C, N, wwin, U=U, R=R)
+    enc = zlib_encode_step(C, tree=tree)
+    dec = zlib_decode_step(C, N, wwin, U=U, R=R, tree=tree)
 
     def step(data, lengths):
         words, total_bits, adler, starts, eof = enc(data, lengths)
