@@ -355,61 +355,82 @@ def run_device_guarded(
     return None, "device benchmark crashed"
 
 
+def _foreign_leg(data: bytes, level: int) -> dict:
+    """Measure one foreign (un-indexed standard zlib) stream: host zlib,
+    host native C++ engine, and the device block-parallel path, all on
+    ``zlib.compress(data, level)``.  Returns GB/s per engine (0.0 where an
+    engine fails verification)."""
+    import zlib
+
+    from fdeflate_tpu.parallel import discovery as D
+
+    z = zlib.compress(data, level)
+
+    t0 = time.perf_counter()
+    ref = zlib.decompress(z)
+    t_z = time.perf_counter() - t0
+    out = {
+        "zlib": len(data) / t_z / 1e9,
+        "native": 0.0,
+        "device": 0.0,
+        "ratio": len(z) / len(data),
+    }
+
+    # The framework's host engine on the same foreign stream: the C++
+    # decoder handles arbitrary zlib, so engine selection can route
+    # foreign streams host-side where that wins (it beats zlib by
+    # ~2-3x; the device path serves device-resident consumers).
+    try:
+        from fdeflate_tpu.models import native as NAT
+
+        rn = NAT.inflate(z, size_hint=len(data) + 64)
+        if rn == ref:
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                NAT.inflate(z, size_hint=len(data) + 64)
+                ts.append(time.perf_counter() - t0)
+            out["native"] = len(data) / min(ts) / 1e9
+    except Exception:
+        pass
+
+    # Exactness first: full host-bytes roundtrip once.
+    r = D.try_foreign(z, engine="pallas")
+    if r is None or r != ref:
+        return out
+    # Timed runs use the device-resident contract (stream words staged
+    # once, Adler-32 verified on device, no output download): the
+    # sandbox's ~20 MB/s host<->device tunnel would otherwise dominate
+    # and the number would measure the link, not the chip.
+    words_dev = D.stage_words(z)
+    ts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        rd = D.try_foreign(z, engine="pallas", words_dev=words_dev,
+                           return_device=True)
+        assert rd is not None
+        ts.append(time.perf_counter() - t0)
+    out["device"] = len(data) / min(ts) / 1e9
+    return out
+
+
 def _foreign_worker(raw_mb: int, q) -> None:
     try:
-        import zlib
-
-        from fdeflate_tpu.parallel import discovery as D
-
         rng = np.random.default_rng(9)
         wp = [rng.bytes(int(rng.integers(3, 12))) for _ in range(256)]
-        data = b"".join(
+        text = b"".join(
             wp[int(rng.integers(256))] for _ in range((raw_mb << 20) // 7)
         )[: raw_mb << 20]
-        z = zlib.compress(data, 6)
+        legs = {"text6": _foreign_leg(text, 6)}
 
-        t0 = time.perf_counter()
-        ref = zlib.decompress(z)
-        t_z = time.perf_counter() - t0
-
-        # The framework's host engine on the same foreign stream: the C++
-        # decoder handles arbitrary zlib, so engine selection can route
-        # foreign streams host-side where that wins (it beats zlib by
-        # ~2-3x; the device path serves device-resident consumers).
-        t_n = 0.0
-        try:
-            from fdeflate_tpu.models import native as NAT
-
-            rn = NAT.inflate(z, size_hint=len(data) + 64)
-            if rn == ref:
-                ts = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    NAT.inflate(z, size_hint=len(data) + 64)
-                    ts.append(time.perf_counter() - t0)
-                t_n = len(data) / min(ts) / 1e9
-        except Exception:
-            pass
-
-        # Exactness first: full host-bytes roundtrip once.
-        r = D.try_foreign(z, engine="pallas")
-        if r is None or r != ref:
-            q.put(("ok", (0.0, len(data) / t_z / 1e9, t_n)))
-            return
-        # Timed runs use the device-resident contract (stream words staged
-        # once, Adler-32 verified on device, no output download): the
-        # sandbox's ~20 MB/s host<->device tunnel would otherwise dominate
-        # and the number would measure the link, not the chip.
-        words_dev = D.stage_words(z)
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            rd = D.try_foreign(z, engine="pallas", words_dev=words_dev,
-                               return_device=True)
-            assert rd is not None
-            ts.append(time.perf_counter() - t0)
-        q.put(("ok", (len(data) / min(ts) / 1e9,
-                      len(data) / t_z / 1e9, t_n)))
+        # North-star corpus leg (VERDICT r4 item 4): the same Sub-filtered
+        # IDAT bytes the headline uses, compressed by a *foreign* encoder
+        # at zlib level 1 (fdeflate's own greedy regime) — dist-1/short-
+        # dist dominated, where the dist-1 cummax collapse and near-window
+        # gathers change the device economics vs zlib-6 word salad.
+        idat = make_idat_corpus(max(raw_mb, 1), 1 << 20).tobytes()
+        legs["idat1"] = _foreign_leg(idat, 1)
+        q.put(("ok", legs))
     except Exception as e:  # pragma: no cover
         q.put(("err", repr(e)))
 
@@ -454,8 +475,10 @@ def main():
     foreign, foreign_err = (
         run_foreign_guarded() if device is not None else (None, "skipped")
     )
-    f_dec, f_zlib, f_nat = foreign if foreign is not None else (0.0, 0.0,
-                                                                0.0)
+    _zero = {"device": 0.0, "zlib": 0.0, "native": 0.0}
+    ftext = (foreign or {}).get("text6", _zero)
+    fidat = (foreign or {}).get("idat1", _zero)
+    f_dec, f_zlib, f_nat = ftext["device"], ftext["zlib"], ftext["native"]
 
     def combined(e, d):
         return 2.0 / (1.0 / e + 1.0 / d) if e > 0 and d > 0 else 0.0
@@ -502,6 +525,16 @@ def main():
             "foreign_decode_gbps": round(f_dec, 3),
             "foreign_zlib_host_gbps": round(f_zlib, 3),
             "foreign_native_host_gbps": round(f_nat, 3),
+            # North-star-corpus foreign leg: Sub-filtered IDAT bytes
+            # compressed by host zlib-1 (dist-1-heavy greedy regime).
+            "foreign_idat_decode_gbps": round(fidat["device"], 3),
+            "foreign_idat_zlib_host_gbps": round(fidat["zlib"], 3),
+            "foreign_idat_native_host_gbps": round(fidat["native"], 3),
+            # Measured ceiling for a full on-device foreign materializer
+            # on general (word-salad zlib-6) streams: one-hot MXU gather
+            # at 3.46 ns/byte/round, >=8-12 ns/byte all-in
+            # (bench/probe_matgather.py; PERF_NOTES round 4).
+            "foreign_decode_ceiling_gbps": [0.08, 0.12],
             "native_encode_gbps": round(n_enc, 3),
             "native_decode_gbps": round(n_dec, 3),
             "zlib1_encode_gbps": round(z_enc, 3),

@@ -53,7 +53,15 @@ def stamp(msg):
 
 
 def device_time_from_perfetto(tracedir: str) -> float | None:
-    """Sum device-track slice durations (seconds) from a perfetto trace."""
+    """Device busy time (seconds) from a perfetto trace.
+
+    Slices on the device tracks NEST (a program slice contains its
+    kernels' slices) and several tracks can run concurrently, so a naive
+    duration sum double-counts — the first run of this probe measured a
+    'device time' of 136 ms against a 70 ms wall for the same program.
+    The honest scalar is the measure of the UNION of all device-slice
+    intervals: merge [ts, ts+dur) across every device track, sum the
+    merged lengths."""
     paths = glob.glob(os.path.join(tracedir, "**", "*.json.gz"),
                       recursive=True)
     if not paths:
@@ -69,15 +77,26 @@ def device_time_from_perfetto(tracedir: str) -> float | None:
             name = str(e["args"].get("name", "")).lower()
             if any(k in name for k in ("tpu", "device", "axon", "/device:")):
                 dev_pids.add(e.get("pid"))
-    total = 0.0
-    n = 0
+    ivals = []
     for e in events:
         if e.get("ph") == "X" and e.get("pid") in dev_pids:
-            total += float(e.get("dur", 0.0))
-            n += 1
-    stamp(f"  perfetto: {len(paths)} trace(s), {n} device slices from "
-          f"pids {sorted(dev_pids)}")
-    return total / 1e6 if n else None
+            t0 = float(e.get("ts", 0.0))
+            ivals.append((t0, t0 + float(e.get("dur", 0.0))))
+    stamp(f"  perfetto: {len(paths)} trace(s), {len(ivals)} device slices "
+          f"from pids {sorted(dev_pids)}")
+    if not ivals:
+        return None
+    ivals.sort()
+    busy = 0.0
+    cur_s, cur_e = ivals[0]
+    for s, e in ivals[1:]:
+        if s > cur_e:
+            busy += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    busy += cur_e - cur_s
+    return busy / 1e6
 
 
 def main():

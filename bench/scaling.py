@@ -118,8 +118,10 @@ def main():
 
         def coll_only(x):
             def body(k, acc):
+                # pmean promotes int32 -> float32; cast back for the carry.
                 return acc + jax.lax.pmean(
-                    jax.lax.psum(x[0] + k + acc, "streams"), "seq")
+                    jax.lax.psum(x[0] + k + acc, "streams"),
+                    "seq").astype(jnp.int32)
 
             return jax.lax.fori_loop(0, CR, body, jnp.int32(0))
 

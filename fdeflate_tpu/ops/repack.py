@@ -224,34 +224,50 @@ def stage_windows_flat(flat_words, starts_flat, LB: int, wwin: int):
     return rows[:, :wwin].reshape(LB, 8, LANE, wwin).transpose(0, 3, 1, 2)
 
 
-def _combine_kernel(lo_ref, hi_ref, slab0_ref, rows_ref, out_ref, buf, sem,
-                    *, H: int):
-    """OR per-lane aligned row halves into one linear output slab.
+def _combine_kernel(lo_ref, hi_ref, slab0_ref, w8_ref, rows_ref, out_ref,
+                    buf, sem, *, H: int):
+    """OR per-lane row halves into one linear output slab, applying each
+    lane's word-granular shift in-flight.
 
     Grid cell = one output slab ``s`` (1024 words).  Lanes contributing to
     it are the contiguous range [lo[s], hi[s]) (lanes sorted by origin
-    slab); lane ``l`` contributes its half ``h = s - slab0[l]`` (its rows
-    are pre-aligned in XLA so half ``h`` holds exactly the bits that land
-    in slab ``slab0[l] + h``).  Halves are DMA'd from the flat HBM rows
-    buffer — offset ``(H*l + h) * SLAB`` is provably slab-aligned — and
-    OR'd; distinct chunks touch disjoint bits, shared boundary words OR
-    cleanly.  Double-buffered DMA hides the fetch latency.
+    slab); lane ``l`` contributes its half ``h = s - slab0[l]`` shifted
+    right by ``w8[l]`` words (w8 < 1024, multiple of 8 — the part of the
+    lane's in-slab bit offset the pack kernel does not fold; round 4 paid
+    7 streaming XLA select passes over the whole rows buffer for this,
+    ~3.8 ms of the 12.75 ms encode at 16 MiB).  Here the shift rides the
+    existing data movement: the row-granular part (w8 >> 7 sublane rows)
+    offsets the DMA window — 16 rows covering both straddled 8-row tiles
+    of the LEAD-PADDED rows buffer — and the sub-row part (w8 & 127
+    lanes, a multiple of 8) is one dynamic lane rotate (pltpu.roll,
+    semantics validated on hardware by bench/probe_roll.py) plus a
+    row-borrow select.  Distinct chunks touch disjoint bits, shared
+    boundary words OR cleanly.  Double-buffered DMA hides the fetch
+    latency.
+
+    rows_ref layout: [8 + Lp*H*8, 128] — 8 zero lead rows, then lane
+    ``l``'s H*8 UNSHIFTED rows (payload from word 0).  The 16-row window
+    for (l, h) starts at padded row (H*l + h)*8 (i.e. unpadded row
+    (H*l + h - 1)*8): one tile of look-back for the row borrow, then the
+    half's own tile.  Look-back rows beyond a lane's payload are zero by
+    construction (payload words <= (H-1)*1024, see _pack_linear_words).
     """
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    i32 = jnp.int32
     s = pl.program_id(0)
     lo = lo_ref[s]
     hi = hi_ref[s]
 
     def copy_for(i, slot):
         h = s - slab0_ref[i]
-        # rows_ref is 2-D [Lp*H*8, 128]; a half = 8 rows at 8*(H*i + h) —
-        # the 8-row shape and the *8 offset satisfy Mosaic's dim-0 tiling.
+        # 16 rows at padded offset (H*i + h)*8 — a multiple of 8, so the
+        # copy covers exactly two (8, 128) tiles.
         return pltpu.make_async_copy(
-            rows_ref.at[pl.ds((H * i + h) * 8, 8), :],
+            rows_ref.at[pl.ds((H * i + h) * 8, 16), :],
             buf.at[slot],
             sem.at[slot],
         )
@@ -259,6 +275,8 @@ def _combine_kernel(lo_ref, hi_ref, slab0_ref, rows_ref, out_ref, buf, sem,
     @pl.when(lo < hi)
     def _first():
         copy_for(lo, lo & 1).start()
+
+    lanes = jax.lax.broadcasted_iota(i32, (8, LANE), 1)
 
     def body(i, acc):
         slot = i & 1
@@ -268,22 +286,36 @@ def _combine_kernel(lo_ref, hi_ref, slab0_ref, rows_ref, out_ref, buf, sem,
             copy_for(i + 1, (i + 1) & 1).start()
 
         copy_for(i, slot).wait()
-        return acc | buf[slot]
+        w8 = w8_ref[i]
+        roff = w8 >> 7          # whole sublane rows (0..7)
+        b = w8 & 127            # lanes within a row (multiple of 8)
+        # buf[slot][j] = unpadded row base - 8 + j (base = (H*i+h)*8), so
+        # shifted-half row r needs source row base + r - roff = G[r + 8]
+        # for lanes >= b and base + r - roff - 1 = G[r + 7] below b (the
+        # row borrow), where G = roll(buf, roff, axis=0) — indices 7..15
+        # stay in [0, 15] for roff <= 7, no wraparound artifacts.
+        G = pltpu.roll(buf[slot], roff, axis=0)
+        A = pltpu.roll(G, b, axis=1)
+        contrib = jnp.where(lanes >= b, A[8:16], A[7:15])
+        return acc | contrib
 
     acc = jax.lax.fori_loop(lo, hi, body, jnp.zeros((8, LANE), jnp.int32))
     out_ref[0] = acc
 
 
 def linear_from_rows(rows, slab0, nslabs_total: int, H: int,
-                     interpret: bool | None = None):
-    """Pallas combine: per-lane aligned rows -> linear stream slab words.
+                     w8=None, interpret: bool | None = None):
+    """Pallas combine: per-lane rows -> linear stream slab words.
 
     Args:
-      rows: i32[Lp, H*1024] — lane ``l``'s payload bits, pre-shifted so bit
-        0 of half ``h`` is bit 0 of output slab ``slab0[l] + h`` (zeros
-        everywhere the lane holds no payload).
+      rows: i32[Lp, H*1024] — lane ``l``'s payload bits from word 0 (zeros
+        everywhere the lane holds no payload).  Bit 0 of the lane's half
+        ``h`` lands at word ``w8[l]`` of output slab ``slab0[l] + h``.
       slab0: i32[Lp] — each lane's origin slab index, nondecreasing
         (padding lanes use a past-the-end sentinel).
+      w8: i32[Lp] or None — per-lane word shift (multiple of 8, < 1024),
+        applied inside the combine kernel.  None means already-aligned
+        rows (shift 0).
       nslabs_total: output slabs (B * per-stream slabs).
 
     Returns i32[nslabs_total, 8, 128] — reshape to [B, Wpad] stream words.
@@ -297,6 +329,8 @@ def linear_from_rows(rows, slab0, nslabs_total: int, H: int,
         interpret = jax.default_backend() != "tpu"
     Lp, WH = rows.shape
     assert WH == H * SLAB
+    if w8 is None:
+        w8 = jnp.zeros((Lp,), jnp.int32)
 
     sidx = jnp.arange(nslabs_total, dtype=jnp.int32)
     # Lanes with slab0 in (s-H, s] can contribute to slab s.
@@ -310,22 +344,23 @@ def linear_from_rows(rows, slab0, nslabs_total: int, H: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, 8, LANE), lambda s: (s, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nslabs_total, 8, LANE), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, LANE), jnp.int32),
+            pltpu.VMEM((2, 16, LANE), jnp.int32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     if interpret:
         # XLA oracle (the DMA machinery has no ANY-space interpreter):
-        # rows[l, h*SLAB + j] lands at flat word slab0[l]*SLAB + h*SLAB + j.
-        # Contributions overlap only at chunk-boundary words with disjoint
-        # bits, so an add-scatter equals the kernel's OR.
-        idx = (slab0[:, None] * SLAB
+        # rows[l, h*SLAB + j] lands at flat word slab0[l]*SLAB + w8[l] +
+        # h*SLAB + j.  Contributions overlap only at chunk-boundary words
+        # with disjoint bits, so an add-scatter equals the kernel's OR.
+        idx = (slab0[:, None] * SLAB + w8[:, None]
                + jnp.arange(WH, dtype=jnp.int32)[None, :])
         total = nslabs_total * SLAB
         out = jnp.zeros(total, jnp.int32).at[
@@ -335,7 +370,8 @@ def linear_from_rows(rows, slab0, nslabs_total: int, H: int,
             mode="drop",
         )
         return out.reshape(nslabs_total, 8, LANE)
-    return f(lo, hi, slab0, rows.reshape(Lp * H * 8, LANE))
+    flat = jnp.pad(rows.reshape(Lp * H * 8, LANE), ((8, 0), (0, 0)))
+    return f(lo, hi, slab0, w8, flat)
 
 
 def stage_blocked_from_linear(words, chunk_starts, C: int, wwin: int,

@@ -363,7 +363,7 @@ def _encode_linear_assign(data, lengths, C: int, return_eof: bool,
 
 def _pack_linear_words(tokb, relpb, npairb, orig, woff8, B: int, W: int):
     """Shared tail of both kernel encode paths: pack kernel at NEAR-chunk-
-    relative offsets -> corner turn -> XLA log word-shift -> DMA OR-combine.
+    relative offsets -> corner turn -> DMA OR-combine with in-kernel shift.
 
     ``relpb`` must be chunk-relative PLUS the low 8 bits of each lane's
     in-slab offset; ``woff8`` i32[B, C] carries the remaining word shift
@@ -373,8 +373,10 @@ def _pack_linear_words(tokb, relpb, npairb, orig, woff8, B: int, W: int):
     lane block, and per-lane offsets spreading 0..1024 words widen every
     group's scan to nearly all pairs (measured +20 ms at the bench
     geometry, bench/probe_turncombine.py).  Folding only 255 bits keeps
-    the envelopes tight (+1 group) and the word-granular remainder costs
-    7 streaming select passes here.
+    the envelopes tight (+1 group); the word-granular remainder is
+    applied INSIDE the combine kernel (DMA row offset + dynamic lane
+    rotate, see repack._combine_kernel) — round 4 paid ~3.8 ms of XLA
+    select passes over the whole rows buffer for the same shift.
 
     Returns words i32[B, Wpad] (Wpad = W rounded up to 1024)."""
     import jax.numpy as jnp
@@ -391,7 +393,9 @@ def _pack_linear_words(tokb, relpb, npairb, orig, woff8, B: int, W: int):
     S = tokb.shape[1]
     # Window: worst-case chunk payload (13 bits/byte) + the folded 255-bit
     # offset, rounded up for corner_turn's T % 128 == 0; a lane's shifted
-    # payload then spans < 1023 + wpad words -> H output slabs.
+    # payload then spans < 1023 + wpad words -> H output slabs.  The
+    # combine kernel's row look-back additionally needs payload to end by
+    # word (H-1)*1024, which H's definition guarantees (wpad <= (H-1)*1024).
     wpad = (13 * S + 255) // 32 + 2
     wpad += (-wpad) % 128
     H = -(-(wpad + 1024) // 1024)
@@ -404,10 +408,6 @@ def _pack_linear_words(tokb, relpb, npairb, orig, woff8, B: int, W: int):
     w8 = woff8.reshape(-1)
     if Lp > L:
         w8 = jnp.concatenate([w8, jnp.zeros((Lp - L,), i32)])
-    for k in (512, 256, 128, 64, 32, 16, 8):
-        shifted = jnp.concatenate(
-            [jnp.zeros((Lp, k), i32), rows[:, :-k]], axis=1)
-        rows = jnp.where((w8 & k)[:, None] != 0, shifted, rows)
 
     Wpad = W + (-W) % 1024
     nslabs = Wpad // 1024
@@ -417,7 +417,7 @@ def _pack_linear_words(tokb, relpb, npairb, orig, woff8, B: int, W: int):
         slab0 = jnp.concatenate(
             [slab0, jnp.full((Lp - L,), B * nslabs, i32)])
 
-    out = linear_from_rows(rows, slab0, B * nslabs, H=H)
+    out = linear_from_rows(rows, slab0, B * nslabs, H=H, w8=w8)
     return out.reshape(B, Wpad)
 
 
