@@ -365,7 +365,10 @@ def assign_blocked_pallas(in_words, lane_meta, S: int, U: int = 32,
         interpret = jax.default_backend() != "tpu"
     LB = in_words.shape[0]
     T = S // 8
-    assert in_words.shape[1] == 2 * T + 2
+    # The word axis may carry zero padding past 2T + 2 (TPU path: the
+    # reverse corner turn pads to a lane multiple); blocks past the peek
+    # are never indexed.
+    assert in_words.shape[1] >= 2 * T + 2
     assert T % U == 0
     SB = T // U
 
@@ -488,6 +491,34 @@ def assign_tokens_blocked(data, lengths, C: int, U: int = 32,
     return tok, relp, npair, chunk_bits.astype(jnp.int32)
 
 
+@functools.lru_cache(maxsize=1)
+def _word_select_matrix():
+    """[128, 64] f32: columns 0..31 select bytes 4t/4t+1 with weights
+    1/256 (the low 16 bits of word t per 128-byte row), columns 32..63
+    select bytes 4t+2/4t+3 (the high 16 bits)."""
+    M = np.zeros((128, 64), np.float32)
+    for t in range(32):
+        M[4 * t, t] = 1.0
+        M[4 * t + 1, t] = 256.0
+        M[4 * t + 2, 32 + t] = 1.0
+        M[4 * t + 3, 32 + t] = 256.0
+    return M
+
+
+def _words_mxu(data):
+    """u8[B, N] -> i32[B, N//4] little-endian words on the MXU."""
+    import jax
+    import jax.numpy as jnp
+
+    B, N = data.shape
+    Y = data.reshape(-1, 128).astype(jnp.float32)
+    O = jax.lax.dot(Y, jnp.asarray(_word_select_matrix()),
+                    precision=jax.lax.Precision.HIGHEST)
+    lo = O[:, :32].astype(jnp.int32)
+    hi = O[:, 32:].astype(jnp.int32)
+    return (lo | (hi << 16)).reshape(B, N // 4)
+
+
 def blocked_input(data, lengths, C: int, zlit_tok=None, t285_tok=None):
     """XLA prep: [B, N] bytes -> kernel inputs (in_words, lane_meta).
 
@@ -507,14 +538,41 @@ def blocked_input(data, lengths, C: int, zlit_tok=None, t285_tok=None):
     LB = -(-L // 1024)
     Lp = LB * 1024
 
-    words = jax.lax.bitcast_convert_type(
-        data.reshape(B, N // 4, 4), jnp.int32).reshape(B, N // 4)
+    if jax.default_backend() == "tpu":
+        # Bytes -> little-endian words via MXU selection matmuls: XLA's
+        # u8->i32 bitcast_convert_type lowers to a lane relayout that runs
+        # at ~6 GB/s (2.76 ms of the 10.9 ms encode at 16 MiB,
+        # /tmp-probe round 5); two 0/1/256-weighted [128, 32] selections
+        # against 128-byte rows produce the exact words at 57 GB/s.
+        # Exact: bf16 passes represent 0..255 and 256*b exactly, and the
+        # two halves stay < 2^16 so the f32 accumulation is exact.
+        words = _words_mxu(data)
+    else:
+        words = jax.lax.bitcast_convert_type(
+            data.reshape(B, N // 4, 4), jnp.int32).reshape(B, N // 4)
     rows = words.reshape(L, S // 4)
     if Lp > L:
         rows = jnp.concatenate(
             [rows, jnp.zeros((Lp - L, S // 4), i32)], axis=0)
-    rows = jnp.concatenate([rows, jnp.zeros((Lp, 2), i32)], axis=1)
-    in_words = rows.reshape(LB, 8, LANE, S // 4 + 2).transpose(0, 3, 1, 2)
+    if jax.default_backend() == "tpu":
+        # Pallas reverse corner turn: XLA's lowering of this transpose ran
+        # at ~5.9 GB/s (2.8 ms of the 10.9 ms encode at 16 MiB,
+        # bench/probe_encstages.py s0).  The word axis pads to a multiple
+        # of 128 (the kernel's block width); the assign kernel only ever
+        # indexes rows < 2T + 2, so the zero tail is dead weight it never
+        # fetches, and rows 2T..2T+2 are zero as the boundary peek
+        # requires.
+        from .pallas_decode2 import corner_turn_rev
+
+        W = S // 4 + 2
+        Wp = W + (-W) % 128
+        rows = jnp.concatenate(
+            [rows, jnp.zeros((Lp, Wp - S // 4), i32)], axis=1)
+        in_words = corner_turn_rev(rows.reshape(LB, 8, LANE, Wp))
+    else:
+        rows = jnp.concatenate([rows, jnp.zeros((Lp, 2), i32)], axis=1)
+        in_words = rows.reshape(LB, 8, LANE, S // 4 + 2).transpose(
+            0, 3, 1, 2)
 
     lengths = lengths.astype(i32)
     aligned = (lengths // 8) * 8

@@ -1232,3 +1232,39 @@ def corner_turn(x, interpret: bool | None = None):
         interpret=interpret,
     )
     return f(x)
+
+
+def corner_turn_rev(x, interpret: bool | None = None):
+    """[LB, 8, 128, T] -> [LB, T, 8, 128] — the inverse of corner_turn.
+
+    Same rationale: XLA's lowering of this relayout runs well under HBM
+    bandwidth (measured 2.8 ms for the 16 MiB assign-kernel input prep,
+    bench/probe_encstages.py s0), while a per-block in-VMEM transpose
+    streams it.  Used by pallas_assign.blocked_input to produce the
+    word-major kernel input from lane-major byte rows.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    LB, _, _, T = x.shape
+    U = 128
+    assert T % U == 0
+
+    def kernel(x_ref, out_ref):
+        out_ref[0] = jnp.transpose(x_ref[0], (2, 0, 1))
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(LB, T // U),
+        in_specs=[pl.BlockSpec((1, 8, LANE, U), lambda i, j: (i, 0, 0, j),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, U, 8, LANE), lambda i, j: (i, j, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((LB, T, 8, LANE), jnp.int32),
+        interpret=interpret,
+    )
+    return f(x)
