@@ -359,6 +359,12 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
         # the loads inline costs ~400 redundant VMEM row loads per step.
         _bv = [None] + [meta_ref[l] for l in range(1, MAXL + 1)]
         _kv = [None] + [meta_ref[16 + l] for l in range(1, MAXL + 1)]
+        # Sublane-varying kval tiles (round 5): row 13's sublane s holds
+        # kvals[s+1], row 14's holds kvals[s+9].  One take_along_axis pair
+        # + select replaces the 11-deep compare/select chain per sub
+        # (~23 vector ops -> 6).
+        _kvt0 = meta_ref[13]
+        _kvt1 = meta_ref[14]
 
     # The canonical metadata and the pair-packed symbol table arrive as
     # PRE-BROADCAST VMEM inputs (meta_ref i32[32, 8, 128]: row l = bounds[l],
@@ -540,9 +546,18 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
                 Lr = jnp.ones((8, LANE), i32)
                 for l in range(1, MAXL):
                     Lr = Lr + (r12[r] >= bound_v(l)).astype(i32)
-                Kv = zeros() + kval_v(MAXL)
-                for l in range(1, MAXL):
-                    Kv = jnp.where(Lr == l, kval_v(l), Kv)
+                if fast:
+                    # kvals via sublane gather: m in [0, 11]; m & 7 equals
+                    # m - 8 for m >= 8, so both tiles share one index.
+                    m = (Lr - 1) & 7
+                    Kv = jnp.where(
+                        Lr > 8,
+                        jnp.take_along_axis(_kvt1, m, axis=0),
+                        jnp.take_along_axis(_kvt0, m, axis=0))
+                else:
+                    Kv = zeros() + kval_v(MAXL)
+                    for l in range(1, MAXL):
+                        Kv = jnp.where(Lr == l, kval_v(l), Kv)
                 L[r] = Lr
                 idx[r] = Kv + (r12[r] >> (MAXL - Lr))
             e = sym_lookup([jnp.where(need[r], idx[r], 0) for r in RR])
@@ -1072,8 +1087,15 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
             meta_np = np.zeros(32, np.int32)
             meta_np[: MAXL + 1] = bounds
             meta_np[16 : 16 + MAXL + 1] = kvals
-            meta_arg = jnp.asarray(np.ascontiguousarray(
-                np.broadcast_to(meta_np[:, None, None], (32, 8, LANE))))
+            meta3d = np.ascontiguousarray(np.broadcast_to(
+                meta_np[:, None, None], (32, 8, LANE))).copy()
+            # Rows 13/14: sublane-varying kval tiles for the fast kernel's
+            # take_along_axis (sublane s = kvals[s+1] / kvals[s+9]).
+            kv_pad = np.zeros(16, np.int32)
+            kv_pad[: MAXL] = kvals[1:]
+            meta3d[13] = np.broadcast_to(kv_pad[:8, None], (8, LANE))
+            meta3d[14] = np.broadcast_to(kv_pad[8:16, None], (8, LANE))
+            meta_arg = jnp.asarray(meta3d)
             if fast:
                 # Tile layout for the sublane-gather lookup: tile g's
                 # sublanes hold pair-words 8g..8g+7.
@@ -1086,8 +1108,17 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
                                     (npairs, 8, LANE))))
         else:
             meta_in, tab_in = tables
-            meta_arg = jnp.broadcast_to(
-                meta_in.reshape(32, 1, 1), (32, 8, LANE))
+            mv = meta_in.reshape(32)
+            # kvals live at meta[17..17+MAXL); pad to 16 and split into the
+            # two sublane-varying gather tiles (rows 13/14, as above).
+            kv_pad = jnp.concatenate(
+                [mv[17:17 + MAXL], jnp.zeros(16 - MAXL, jnp.int32)])
+            meta_arg = jnp.concatenate([
+                jnp.broadcast_to(mv[:13, None, None], (13, 8, LANE)),
+                jnp.broadcast_to(kv_pad[:8, None], (8, LANE))[None],
+                jnp.broadcast_to(kv_pad[8:, None], (8, LANE))[None],
+                jnp.broadcast_to(mv[15:, None, None], (17, 8, LANE)),
+            ], axis=0)
             if fast:
                 tab_arg = jnp.broadcast_to(
                     tab_in.reshape(-1)[:144].reshape(18, 8, 1),
