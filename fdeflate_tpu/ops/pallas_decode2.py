@@ -293,7 +293,7 @@ def _kernel(win_ref, tab_ref, out_ref, bpos_ref, state, *,
 
 def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
                   wwin: int, U: int, lane_major: bool, R: int = 1,
-                  fast: bool = True):
+                  fast: bool = True, mid: tuple | None = None):
     """Compile-light kernel body: identical semantics to ``_kernel``.
 
     Canonical-decode metadata (bounds/kvals) arrives as a runtime SMEM
@@ -422,6 +422,42 @@ def _kernel_light(win_ref, tab_ref, meta_ref, out_ref, bpos_ref, state, *,
         ))
 
     def sym_lookup(idx):
+        if mid is not None:
+            # Affine-middle lookup (round 5): sublane gathers cost ~20 ns
+            # per (8, 128) take vs ~3.6 ns per select (/tmp take-cost
+            # microbench), so the 18-take full-table scan IS the kernel.
+            # The trained tree's canonical order makes most of the table
+            # redundant: its 171 max-length literals are CONTIGUOUS byte
+            # values (43..213), so for idx in [n1, n2) the entry is just
+            # idx + bias (cls=lit, extra=0) — no table.  Only the hot
+            # prefix (idx < n1 <= 112, 7 tiles) and the non-literal tail
+            # (< 16 entries, 1 tile) need gathers: 8 takes instead of 18.
+            n1, n2, bias = mid
+            w1 = (n1 + 15) // 16          # hot tiles
+            his = [idx[r] >> 4 for r in RR]
+            los = [(idx[r] >> 1) & 7 for r in RR]
+
+            def body(g, accs):
+                accs = list(accs)
+                for r in RR:
+                    cand = jnp.take_along_axis(tab_ref[g], los[r], axis=0)
+                    accs[r] = jnp.where(his[r] == g, cand, accs[r])
+                return tuple(accs)
+
+            accs = jax.lax.fori_loop(
+                0, w1, body, tuple(zeros() for _ in RR))
+            out = []
+            nlw = n2 >> 1                 # first pair-word of the tail
+            for r in RR:
+                e_hot = (accs[r] >> ((idx[r] & 1) * 16)) & 0x7FFF
+                e_mid = idx[r] + bias
+                cnl = jnp.take_along_axis(
+                    tab_ref[w1], ((idx[r] >> 1) - nlw) & 7, axis=0)
+                e_nl = (cnl >> ((idx[r] & 1) * 16)) & 0x7FFF
+                out.append(jnp.where(
+                    idx[r] >= n2, e_nl,
+                    jnp.where(idx[r] >= n1, e_mid, e_hot)))
+            return out
         if fast:
             # Static two-level sublane gather: tile g's sublanes hold
             # pair-words 8g..8g+7 (tab_ref is (18, 8, 128) in fast mode);
@@ -1051,10 +1087,29 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
             light=light, tables=tables, R=R, fast=fast)
         return out[:LB], bpos[:LB]
 
+    # Affine-middle lookup structure (round 5, trained tree only): if the
+    # max-length literals form one contiguous ascending run, the table
+    # scan needs only the hot prefix + non-literal tail (8 takes vs 18 —
+    # a take_along_axis costs ~6x a select, so the scan IS the kernel).
+    mid = None
+    if light and fast and tables is None:
+        lens_np = np.asarray(HUFFMAN_LENGTHS, np.int64)
+        n1 = int(((lens_np > 0) & (lens_np < MAXL)).sum())
+        total = int((lens_np > 0).sum())
+        if n1 <= 112 and n1 < total:
+            base = int(packed[n1])
+            o = 0
+            while (n1 + o < total and int(packed[n1 + o]) == base + o
+                   and base + o < 256):
+                o += 1
+            n2 = n1 + o
+            if o > 0 and total - n2 <= 16 and (n2 >> 1) + 8 <= _TAB_PAD // 2:
+                mid = (n1, n2, base - n1)
+
     if light:
         kern = functools.partial(
             _kernel_light, wwin=wwin, U=U, lane_major=lane_major, R=R,
-            fast=fast,
+            fast=fast, mid=mid,
         )
     else:
         assert tables is None, "runtime tables need the light kernel"
@@ -1096,7 +1151,17 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
             meta3d[13] = np.broadcast_to(kv_pad[:8, None], (8, LANE))
             meta3d[14] = np.broadcast_to(kv_pad[8:16, None], (8, LANE))
             meta_arg = jnp.asarray(meta3d)
-            if fast:
+            if mid is not None:
+                # Hot-prefix tiles + one non-literal-tail tile (the
+                # affine middle needs no table).
+                w1 = (mid[0] + 15) // 16
+                nlw = mid[1] >> 1
+                tab2 = np.concatenate(
+                    [tab[: 8 * w1].reshape(w1, 8),
+                     tab[nlw : nlw + 8].reshape(1, 8)], axis=0)
+                tab_arg = jnp.asarray(np.ascontiguousarray(
+                    np.broadcast_to(tab2[:, :, None], (w1 + 1, 8, LANE))))
+            elif fast:
                 # Tile layout for the sublane-gather lookup: tile g's
                 # sublanes hold pair-words 8g..8g+7.
                 tab_arg = jnp.asarray(np.ascontiguousarray(
@@ -1126,7 +1191,10 @@ def decode_blocked(win, T: int, U: int = 32, interpret: bool | None = None,
             else:
                 tab_arg = jnp.broadcast_to(
                     tab_in.reshape(npairs, 1, 1), (npairs, 8, LANE))
-        tab_rows = 18 if fast else npairs
+        if mid is not None:
+            tab_rows = (mid[0] + 15) // 16 + 1
+        else:
+            tab_rows = 18 if fast else npairs
         in_specs = [
             pl.BlockSpec((R, wwin, 8, LANE), lambda lb, sb: (lb, 0, 0, 0),
                          memory_space=pltpu.VMEM),
