@@ -53,13 +53,21 @@ def _hash12(w32):
 
 
 def find_matches(data, lengths, depth: int = 2, min_match: int = 4,
-                 hash_bytes: int = 4, cost_filter: bool = True):
+                 hash_bytes: int = 4, cost_filter: bool = True,
+                 backext: bool = True, lit_bits8=None):
     """Per-position verified match (length, distance), capped at _EXT bytes.
 
     data: u8[B, N] (N < 2^20); lengths: i32[B].
     Returns (mlen i32[B, N], mdist i32[B, N]) — zero length = no match.
     ``hash_bytes=8`` groups on an 8-byte prefix (fewer collisions; finds the
     long matches a 4-byte bucket's nearest predecessors miss).
+    ``lit_bits8``: i32[B], estimated literal cost in EIGHTHS of a bit
+    (stream order-0 entropy; see stream_lit_bits8).  Candidate selection
+    maximizes the bit-saving score lit_bits8*len - 8*dist_extra instead
+    of raw length — the flat 5-bits/byte estimate overvalued far matches
+    on low-entropy corpora (measured on IDAT: depth 4 ENLARGED output by
+    0.24% vs depth 2 under length-max selection; score-max restores
+    depth monotonicity).  None falls back to 5 bits/byte.
     """
     import jax
     import jax.numpy as jnp
@@ -72,6 +80,10 @@ def find_matches(data, lengths, depth: int = 2, min_match: int = 4,
     # only HINTS — the byte-verified extension rejects false ones.
     assert N <= (1 << 20)
     d = data.astype(i32)
+    if lit_bits8 is None:
+        lit8 = jnp.full((B, 1), 40, i32)  # 5 bits/byte
+    else:
+        lit8 = lit_bits8.astype(i32).reshape(B, 1)
 
     # Unaligned 4-byte little-endian words at every byte offset.
     def sh(k):
@@ -97,6 +109,7 @@ def find_matches(data, lengths, depth: int = 2, min_match: int = 4,
 
     best_len = jnp.zeros((B, N), i32)
     best_dist = jnp.zeros((B, N), i32)
+    best_score = jnp.zeros((B, N), i32)
     for k in range(1, depth + 1):
         cand = jnp.concatenate(
             [jnp.zeros((B, k), i32), spos[:, :-k]], axis=1
@@ -128,15 +141,15 @@ def find_matches(data, lengths, depth: int = 2, min_match: int = 4,
 
         # Profitability filter (device twin of the block writer's demotion
         # pass): a short match at a far distance costs more bits than its
-        # literals.  Estimated match cost 13 + dist-extra bits vs ~5 bits
-        # per literal byte.
-        if cost_filter:
-            dext = jnp.asarray(DIST_SYM_TO_DIST_EXTRA.astype(np.int32))[
-                jnp.asarray(DISTANCE_TO_SYM.astype(np.int32))[
-                    jnp.clip(dist - 1, 0, _WINDOW - 1)
-                ]
+        # literals.  Estimated match cost 13 + dist-extra bits vs the
+        # stream's literal entropy.
+        dext = jnp.asarray(DIST_SYM_TO_DIST_EXTRA.astype(np.int32))[
+            jnp.asarray(DISTANCE_TO_SYM.astype(np.int32))[
+                jnp.clip(dist - 1, 0, _WINDOW - 1)
             ]
-            ln = jnp.where(13 + dext <= 5 * ln, ln, 0)
+        ]
+        if cost_filter:
+            ln = jnp.where((13 + dext) * 8 <= lit8 * ln, ln, 0)
 
         # Backward extension (the reference's fizzle,
         # src/compress/matchfinder/mod.rs:51-110 extends every match back
@@ -155,32 +168,72 @@ def find_matches(data, lengths, depth: int = 2, min_match: int = 4,
                           jnp.where(x & 0xFF0000, 1,
                                     jnp.where(x & 0xFF00, 2, 3))))
 
-        b1 = jnp.where((pos >= 4) & (cand >= 4), back4(4), 0)
-        b2 = jnp.where((b1 == 4) & (pos >= 8) & (cand >= 8), back4(8), 0)
-        bext = jnp.where(ln > 0, b1 + b2, 0)
+        if backext:
+            b1 = jnp.where((pos >= 4) & (cand >= 4), back4(4), 0)
+            b2 = jnp.where((b1 == 4) & (pos >= 8) & (cand >= 8),
+                           back4(8), 0)
+            bext = jnp.where(ln > 0, b1 + b2, 0)
+        else:
+            bext = jnp.zeros_like(ln)
 
-        # Scatter back to position order, keeping the best candidate:
-        # pack (len << 16 | WINDOW - dist) so max() prefers longer, then
-        # nearer. ln <= _EXT + 8 and dist <= WINDOW keep this within int32.
+        # Scatter back to position order, keeping the best-SCORING
+        # candidate: pack (score << 21 | len << 15 | WINDOW - dist) so
+        # max() prefers the biggest estimated bit saving (whole-bit
+        # literal cost, floor of the stream entropy — conservative), then
+        # longer, then nearer.  score < 2^10, len <= 48 < 2^6,
+        # WINDOW - dist < 2^15: 31 bits, fits int32.
         rows = jax.lax.broadcasted_iota(i32, (B, N), 0)
+        litb = jnp.clip(lit8 >> 3, 2, 12)
+
+        def packed_for(length):
+            sc = jnp.clip(litb * length - dext, 1, (1 << 10) - 1)
+            return (sc << 21) | (length << 15) | (_WINDOW - dist)
+
         flat = (rows * N + pos).reshape(-1)
-        packed = jnp.where(ln > 0, (ln << 16) | (_WINDOW - dist), 0)
+        packed = jnp.where(ln > 0, packed_for(ln), 0)
         flat_b = (rows * N + pos - bext).reshape(-1)
         packed_b = jnp.where(
-            (ln > 0) & (bext > 0),
-            ((ln + bext) << 16) | (_WINDOW - dist), 0)
+            (ln > 0) & (bext > 0), packed_for(ln + bext), 0)
         pmax = jnp.zeros(B * N, i32).at[flat].max(
             packed.reshape(-1)
         ).at[flat_b].max(
             packed_b.reshape(-1)
         ).reshape(B, N)
-        cand_len = pmax >> 16
-        cand_dist = _WINDOW - (pmax & 0xFFFF)
-        better = cand_len > best_len
+        cand_len = (pmax >> 15) & 0x3F
+        cand_dist = _WINDOW - (pmax & 0x7FFF)
+        cand_score = pmax >> 21
+        better = cand_score > best_score
         best_len = jnp.where(better, cand_len, best_len)
         best_dist = jnp.where(better, cand_dist, best_dist)
+        best_score = jnp.where(better, cand_score, best_score)
 
     return best_len, best_dist
+
+
+def stream_lit_bits8(data, lengths):
+    """i32[B]: per-stream order-0 byte entropy in EIGHTHS of a bit,
+    clipped to [16, 96] (2..12 bits/byte) — the literal-cost estimate for
+    match scoring.  A flat estimate misprices matches on low-entropy
+    corpora (IDAT literals cost ~2.6 bits, not 5); the reference prices
+    with real code lengths but only in its demotion pass
+    (src/compress/bitstream.rs), the search itself being nearest-first."""
+    import jax
+    import jax.numpy as jnp
+
+    i32 = jnp.int32
+    B, N = data.shape
+    rows = jax.lax.broadcasted_iota(i32, (B, N), 0)
+    idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
+    in_s = idx < lengths[:, None]
+    flat = jnp.where(in_s, rows * 256 + data.astype(i32), B * 256)
+    hist = jnp.zeros(B * 256 + 1, i32).at[flat.reshape(-1)].add(1)[
+        : B * 256].reshape(B, 256)
+    n = jnp.maximum(lengths.astype(jnp.float32), 1.0)
+    pf = hist.astype(jnp.float32) / n[:, None]
+    H = -jnp.sum(
+        jnp.where(hist > 0, pf * jnp.log2(jnp.maximum(pf, 1e-12)), 0.0),
+        axis=1)
+    return jnp.clip((H * 8.0 + 0.5).astype(i32), 16, 96)
 
 
 def extend_winners(data, mlen, mdist, lengths, limit: int = 260):
@@ -318,7 +371,8 @@ def merge_chains(sym_start, is_match, mdist, lengths):
     return seg_start, seg_len, jnp.where(seg_start, mdist, 0)
 
 
-def _segments(data, lengths, depth: int, min_match: int):
+def _segments(data, lengths, depth: int, min_match: int,
+              backext: bool = True):
     """Device: matches -> greedy tiling -> merged segments.
 
     Two hash passes: 4-byte buckets (short/near matches, cost-filtered) and
@@ -326,11 +380,14 @@ def _segments(data, lengths, depth: int, min_match: int):
     miss); the longer verified match wins per position."""
     import jax.numpy as jnp
 
+    lit8 = stream_lit_bits8(data, lengths)
     mlen, mdist = find_matches(data, lengths, depth=depth,
-                               min_match=min_match)
+                               min_match=min_match, backext=backext,
+                               lit_bits8=lit8)
     ml8, md8 = find_matches(data, lengths, depth=max(depth // 2, 1),
                             min_match=max(min_match, 8), hash_bytes=8,
-                            cost_filter=False)
+                            cost_filter=False, backext=backext,
+                            lit_bits8=lit8)
 
     # Cost-aware pass combination: a longer-but-farther match only wins if
     # its estimated net bits (5 bits/byte saved minus the distance extra
@@ -340,9 +397,11 @@ def _segments(data, lengths, depth: int, min_match: int):
     dext_t = jnp.asarray(DIST_SYM_TO_DIST_EXTRA.astype(np.int32))
     dsym_t = jnp.asarray(DISTANCE_TO_SYM.astype(np.int32))
 
+    litb = (lit8 >> 3)[:, None]
+
     def score(ln, d):
         dext = dext_t[dsym_t[jnp.clip(d - 1, 0, _WINDOW - 1)]]
-        return jnp.where(ln > 0, 5 * ln - dext, -(1 << 20))
+        return jnp.where(ln > 0, litb * ln - dext, -(1 << 20))
 
     better = score(ml8, md8) > score(mlen, mdist)
     mlen = jnp.where(better, ml8, mlen)
@@ -432,14 +491,16 @@ def _roles_and_freqs(data, lengths, segments, min_match: int):
     return roles, (freq_l, freq_d)
 
 
-def _stage1(data, lengths, depth: int, min_match: int):
+def _stage1(data, lengths, depth: int, min_match: int,
+            backext: bool = True):
     """Segments + first-pass roles/freqs + whole-stream byte histogram."""
     import jax
     import jax.numpy as jnp
 
     i32 = jnp.int32
     B, N = data.shape
-    segments = _segments(data, lengths, depth, min_match)
+    segments = _segments(data, lengths, depth, min_match,
+                         backext=backext)
     roles, freqs = _roles_and_freqs(data, lengths, segments, min_match)
 
     idx = jax.lax.broadcasted_iota(i32, (B, N), 1)
@@ -646,8 +707,12 @@ def _host_header(freq_l: np.ndarray, freq_d: np.ndarray):
 
     Returns (header_bits, header_words u32[], lit_lens, lit_codes,
     dist_lens, dist_codes).  Header = zlib magic + BFINAL=1/BTYPE=10 +
-    HLIT/HDIST/HCLEN + CL-coded lengths (no 16/17/18 run codes, matching
-    models/bitstream.py and the reference src/compress/bitstream.rs:133).
+    HLIT/HDIST/HCLEN + CL-coded lengths WITH the RFC 1951 16/17/18
+    run codes.  (The reference skips the run codes,
+    src/compress/bitstream.rs:133-141; using them saves ~10-19 bytes per
+    stream, which is what lets the single-block device encoder beat the
+    reference's 16k-symbol adaptive blocks on every corpus —
+    bench/sizes_device.py.)
     """
     from ..models.bitstream import build_huffman_tree
     from ..ops.bitio import BitWriter
@@ -663,11 +728,40 @@ def _host_header(freq_l: np.ndarray, freq_d: np.ndarray):
     num_dist = 30
     while num_dist > 1 and dist_lengths[num_dist - 1] == 0:
         num_dist -= 1
-    cl_freq = np.bincount(
-        np.concatenate([lengths[:num_litlen], dist_lengths[:num_dist]]),
-        minlength=19,
-    )[:19]
+
+    seq = np.concatenate([lengths[:num_litlen], dist_lengths[:num_dist]])
+    toks = []  # (cl_symbol, extra_val, extra_bits)
+    i = 0
+    while i < len(seq):
+        v = int(seq[i])
+        j = i + 1
+        while j < len(seq) and int(seq[j]) == v:
+            j += 1
+        run = j - i
+        if v == 0:
+            while run >= 11:
+                r = min(run, 138)
+                toks.append((18, r - 11, 7))
+                run -= r
+            if run >= 3:
+                toks.append((17, run - 3, 3))
+                run = 0
+            toks.extend([(0, 0, 0)] * run)
+        else:
+            toks.append((v, 0, 0))
+            run -= 1
+            while run >= 3:
+                r = min(run, 6)
+                toks.append((16, r - 3, 2))
+                run -= r
+            toks.extend([(v, 0, 0)] * run)
+        i = j
+
+    cl_freq = np.bincount([t[0] for t in toks], minlength=19)[:19]
     cl_lengths, cl_codes, _ = build_huffman_tree(cl_freq, 7)
+    num_cl = 19
+    while num_cl > 4 and cl_lengths[CLCL_ORDER[num_cl - 1]] == 0:
+        num_cl -= 1
 
     sink = bytearray()
     w = BitWriter(sink)
@@ -675,11 +769,13 @@ def _host_header(freq_l: np.ndarray, freq_d: np.ndarray):
     w.write_bits(0b101, 3)    # BFINAL=1, BTYPE=dynamic
     w.write_bits(num_litlen - 257, 5)
     w.write_bits(num_dist - 1, 5)
-    w.write_bits(15, 4)
-    for j in range(19):
+    w.write_bits(num_cl - 4, 4)
+    for j in range(num_cl):
         w.write_bits(int(cl_lengths[CLCL_ORDER[j]]), 3)
-    for ln in np.concatenate([lengths[:num_litlen], dist_lengths[:num_dist]]):
-        w.write_bits(int(cl_codes[ln]), int(cl_lengths[ln]))
+    for sym, ev, eb in toks:
+        w.write_bits(int(cl_codes[sym]), int(cl_lengths[sym]))
+        if eb:
+            w.write_bits(ev, eb)
     hbits = w.bit_position
     w.flush()
     raw = bytes(sink) + bytes((-len(sink)) % 4)
@@ -716,7 +812,8 @@ def compress_batch_device(streams: list[bytes], level: int = 2) -> list[bytes]:
 
 
 def compress_batch_matched(streams: list[bytes], depth: int = 2,
-                           min_match: int = 4) -> list[bytes]:
+                           min_match: int = 4, backext: bool = True,
+                           passes: int = 2) -> list[bytes]:
     """Device batch encode with LZ77 matching (levels 1-3 capability).
 
     Three device launches with small host hops: (1) match scan -> roles +
@@ -745,7 +842,7 @@ def compress_batch_matched(streams: list[bytes], depth: int = 2,
     lengths = jnp.asarray(lengths_np)
 
     stage1 = jax.jit(functools.partial(
-        _stage1, depth=depth, min_match=min_match))
+        _stage1, depth=depth, min_match=min_match, backext=backext))
     segments, roles, (freq_l, freq_d), hist = stage1(data, lengths)
     fl = np.asarray(freq_l)
     fd = np.asarray(freq_d)
@@ -765,7 +862,7 @@ def compress_batch_matched(streams: list[bytes], depth: int = 2,
 
     stage15 = jax.jit(functools.partial(_demote_segments,
                                         min_match=min_match))
-    for _pass in range(2):
+    for _pass in range(passes):
         segments, roles, (freq_l, freq_d) = stage15(
             data, lengths, segments, jnp.asarray(shadow),
             jnp.asarray(fp_lit), jnp.asarray(fp_dist),

@@ -303,8 +303,81 @@ def _combine_kernel(lo_ref, hi_ref, slab0_ref, w8_ref, rows_ref, out_ref,
     out_ref[0] = acc
 
 
+def _combine_kernel_grouped(lo_ref, hi_ref, slab0_ref, w8_ref, rows_ref,
+                            out_ref, buf, sem, *, H: int, K: int,
+                            nlanes: int):
+    """Grouped variant of _combine_kernel: one DMA fetches K consecutive
+    lanes' FULL row blocks (they are contiguous in the rows buffer), and
+    the per-lane 16-row windows are dynamic sublane slices of the group
+    buffer.  The per-(lane, half) copies of the ungrouped kernel are
+    descriptor-bound (~16k copies of 8 KiB at the bench geometry); K=8
+    cuts the copy count 8x for 2x the fetched bytes (both halves ride
+    along) — a win while the combine is overhead-bound, not
+    bandwidth-bound.  Shift semantics identical to _combine_kernel.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i32 = jnp.int32
+    s = pl.program_id(0)
+    lo = lo_ref[s]
+    hi = hi_ref[s]
+    ngroups = (hi - lo + K - 1) // K
+    GR = 8 * (H * K + 1)  # group rows: K lanes x H*8 + one look-back tile
+
+    def copy_group(g, slot):
+        i0 = lo + g * K
+        return pltpu.make_async_copy(
+            rows_ref.at[pl.ds(H * i0 * 8, GR), :],
+            buf.at[slot],
+            sem.at[slot],
+        )
+
+    @pl.when(0 < ngroups)
+    def _first():
+        copy_group(0, 0).start()
+
+    lanes = jax.lax.broadcasted_iota(i32, (8, LANE), 1)
+
+    def group_body(g, acc):
+        slot = g & 1
+
+        @pl.when(g + 1 < ngroups)
+        def _next():
+            copy_group(g + 1, (g + 1) & 1).start()
+
+        copy_group(g, slot).wait()
+
+        def lane_body(j, acc):
+            i = lo + g * K + j
+            ii = jnp.minimum(i, nlanes - 1)
+            # Masked tail lanes (i >= hi) may carry a sentinel slab0; the
+            # slice offset must stay in range even though the contribution
+            # is discarded.
+            h = jnp.clip(s - slab0_ref[ii], 0, H - 1)
+            w8 = w8_ref[ii]
+            roff = w8 >> 7
+            b = w8 & 127
+            # Lane i's padded window starts at group-local row (H*j+h)*8
+            # (the group fetch begins at lane i0's look-back tile).
+            win16 = buf[slot, pl.ds((H * j + h) * 8, 16)]
+            G = pltpu.roll(win16, roff, axis=0)
+            A = pltpu.roll(G, b, axis=1)
+            contrib = jnp.where(lanes >= b, A[8:16], A[7:15])
+            return acc | jnp.where(i < hi, contrib, 0)
+
+        return jax.lax.fori_loop(0, K, lane_body, acc)
+
+    acc = jax.lax.fori_loop(0, ngroups, group_body,
+                            jnp.zeros((8, LANE), jnp.int32))
+    out_ref[0] = acc
+
+
 def linear_from_rows(rows, slab0, nslabs_total: int, H: int,
-                     w8=None, interpret: bool | None = None):
+                     w8=None, interpret: bool | None = None,
+                     group: int = 1):
     """Pallas combine: per-lane rows -> linear stream slab words.
 
     Args:
@@ -337,24 +410,48 @@ def linear_from_rows(rows, slab0, nslabs_total: int, H: int,
     lo = jnp.searchsorted(slab0, sidx - (H - 1), side="left").astype(jnp.int32)
     hi = jnp.searchsorted(slab0, sidx, side="right").astype(jnp.int32)
 
-    f = pl.pallas_call(
-        functools.partial(_combine_kernel, H=H),
-        grid=(nslabs_total,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=pl.BlockSpec((1, 8, LANE), lambda s: (s, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((nslabs_total, 8, LANE), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((2, 16, LANE), jnp.int32),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-    )
+    if group > 1:
+        K = group
+        f = pl.pallas_call(
+            functools.partial(_combine_kernel_grouped, H=H, K=K,
+                              nlanes=Lp),
+            grid=(nslabs_total,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, LANE), lambda s: (s, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nslabs_total, 8, LANE),
+                                           jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((2, 8 * (H * K + 1), LANE), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
+    else:
+        f = pl.pallas_call(
+            functools.partial(_combine_kernel, H=H),
+            grid=(nslabs_total,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pl.ANY),
+            ],
+            out_specs=pl.BlockSpec((1, 8, LANE), lambda s: (s, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((nslabs_total, 8, LANE),
+                                           jnp.int32),
+            scratch_shapes=[
+                pltpu.VMEM((2, 16, LANE), jnp.int32),
+                pltpu.SemaphoreType.DMA((2,)),
+            ],
+        )
     if interpret:
         # XLA oracle (the DMA machinery has no ANY-space interpreter):
         # rows[l, h*SLAB + j] lands at flat word slab0[l]*SLAB + w8[l] +
@@ -370,7 +467,10 @@ def linear_from_rows(rows, slab0, nslabs_total: int, H: int,
             mode="drop",
         )
         return out.reshape(nslabs_total, 8, LANE)
-    flat = jnp.pad(rows.reshape(Lp * H * 8, LANE), ((8, 0), (0, 0)))
+    # Lead pad: one zero tile for the row-borrow look-back; tail pad: the
+    # grouped kernel's fixed-size fetch may run past the last lane.
+    tail = 8 * H * group if group > 1 else 0
+    flat = jnp.pad(rows.reshape(Lp * H * 8, LANE), ((8, tail), (0, 0)))
     return f(lo, hi, slab0, w8, flat)
 
 
