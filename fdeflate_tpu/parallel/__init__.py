@@ -1,1 +1,1 @@
-"""Multi-chip parallelism: stream sharding, speculative chunked decode, multihost."""
+"""Multi-chip parallelism: stream sharding, indexed chunk-parallel decode, multihost."""
